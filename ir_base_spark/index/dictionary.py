@@ -1,0 +1,101 @@
+"""Dictionary (term → id) + exact corpus statistics.
+
+Reference semantics: exact DF/TTF per term
+(/root/reference/src/structures/_stat.java:54-62) — NOT
+approx_count_distinct; rank-identity needs exact DF (SURVEY §4.5).
+Deterministic term ids: row_number over (df desc, term asc) — arrival
+order (the reference's expandVocabulary,
+/root/reference/src/Analyzer/Analyzer.java:126-130) is not reproducible
+in a distributed engine, so the canonical ordering is pinned instead
+(FIXTURES.md §4). min/max-DF pruning mirrors the DF feature selector
+(/root/reference/src/Analyzer/FeatureSelector.java:64-71).
+
+Scale notes (10^12 turns → ~10^8-term dictionary):
+- DF/TTF is a single shuffle of pre-aggregated (doc, term) rows keyed by
+  term; AQE handles moderate skew, and the posting-block build (blocks.py)
+  adds explicit salting for the Zipf head.
+- Term-id assignment avoids a single-partition global window: terms are
+  range-partitioned on the sort key, ranked within partitions, and offset
+  by cumulative partition counts (a driver-side array of #partitions
+  ints) — fully distributed, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def term_stats(raw_postings: DataFrame) -> DataFrame:
+    """(term, df, ttf) with exact counts.
+
+    raw_postings already has one row per (doc, term), so DF is count(*)
+    — no countDistinct shuffle of doc ids needed.
+    """
+    return raw_postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("ttf"),
+    )
+
+
+def assign_term_ids(stats: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Deterministic dense term ids: row_number over (df desc, term asc).
+
+    Distributed two-phase ranking: range-partition by the sort key, rank
+    within each partition, add exclusive cumulative offsets. Equivalent to
+    a global window row_number but with no single-partition bottleneck.
+    """
+    ordered = stats.repartitionByRange(
+        num_partitions, F.col("df").desc(), F.col("term").asc()
+    ).sortWithinPartitions(F.col("df").desc(), F.col("term").asc())
+    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    # local 1-based rank within each range partition
+    w = Window.partitionBy("_pid").orderBy(F.col("df").desc(), F.col("term").asc())
+    local = with_pid.withColumn("_rk", F.row_number().over(w))
+    sizes = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("_pid")
+        .collect()
+    )
+    if not sizes:
+        return local.withColumn("term_id", (F.col("_rk") - 1).cast("long")).drop(
+            "_pid", "_rk"
+        )
+    offsets = {}
+    acc = 0
+    for row in sizes:
+        offsets[row["_pid"]] = acc
+        acc += row["n"]
+    offs = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        local.withColumn("term_id", (F.col("_rk") - 1 + offs[F.col("_pid")]).cast("long"))
+        .drop("_pid", "_rk")
+    )
+
+
+def build_dictionary(
+    raw_postings: DataFrame,
+    min_df: int = 1,
+    max_df: int | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """terms(term, term_id, df, ttf), pruned then deterministically ranked."""
+    stats = term_stats(raw_postings)
+    pruned = stats.filter(F.col("df") >= F.lit(min_df))
+    if max_df is not None:
+        pruned = pruned.filter(F.col("df") <= F.lit(max_df))
+    return assign_term_ids(pruned, num_partitions=num_partitions).select(
+        "term", "term_id", "df", "ttf"
+    )
+
+
+def corpus_stats(doc_lens: DataFrame) -> tuple[int, float]:
+    """(n_docs, avg_doc_len) — the scalar manifest constants pinned per
+    index snapshot (/root/reference/src/Analyzer/Analyzer.java:191,
+    238-242; SURVEY §7.3)."""
+    row = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("navg")
+    ).collect()[0]
+    return int(row["n"]), float(row["navg"] or 0.0)
