@@ -38,19 +38,25 @@ def term_stats(raw_postings: DataFrame) -> DataFrame:
     )
 
 
-def assign_term_ids(stats: DataFrame, num_partitions: int = 32) -> DataFrame:
-    """Deterministic dense term ids: row_number over (df desc, term asc).
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list,
+    id_name: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic dense 0-based ids = row_number over ``order_cols``.
 
     Distributed two-phase ranking: range-partition by the sort key, rank
-    within each partition, add exclusive cumulative offsets. Equivalent to
-    a global window row_number but with no single-partition bottleneck.
+    within each partition, add exclusive cumulative offsets (a driver
+    array of #partitions ints). Equivalent to a global-window row_number
+    but with no single-partition bottleneck — safe for 10^8-term
+    dictionaries and 10^12-row doc maps alike. ``order_cols`` must be a
+    total order (unique key) for determinism.
     """
-    ordered = stats.repartitionByRange(
-        num_partitions, F.col("df").desc(), F.col("term").asc()
-    ).sortWithinPartitions(F.col("df").desc(), F.col("term").asc())
+    ordered = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
     # local 1-based rank within each range partition
-    w = Window.partitionBy("_pid").orderBy(F.col("df").desc(), F.col("term").asc())
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = with_pid.withColumn("_rk", F.row_number().over(w))
     sizes = (
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
@@ -58,7 +64,7 @@ def assign_term_ids(stats: DataFrame, num_partitions: int = 32) -> DataFrame:
         .collect()
     )
     if not sizes:
-        return local.withColumn("term_id", (F.col("_rk") - 1).cast("long")).drop(
+        return local.withColumn(id_name, (F.col("_rk") - 1).cast("long")).drop(
             "_pid", "_rk"
         )
     offsets = {}
@@ -70,8 +76,31 @@ def assign_term_ids(stats: DataFrame, num_partitions: int = 32) -> DataFrame:
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     return (
-        local.withColumn("term_id", (F.col("_rk") - 1 + offs[F.col("_pid")]).cast("long"))
+        local.withColumn(id_name, (F.col("_rk") - 1 + offs[F.col("_pid")]).cast("long"))
         .drop("_pid", "_rk")
+    )
+
+
+def assign_term_ids(stats: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Deterministic dense term ids: row_number over (df desc, term asc)
+    (FIXTURES.md §4)."""
+    return assign_dense_ids(
+        stats,
+        [F.col("df").desc(), F.col("term").asc()],
+        "term_id",
+        num_partitions=num_partitions,
+    )
+
+
+def assign_doc_ids(doc_lens: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Dense doc ids ranked by (conv_id, turn_idx): ascending doc_id IS
+    the stable turn ordering (BASELINE.json:15), so doc-ordered posting
+    traversal and the (conv_id, turn_idx)-asc tie-break coincide."""
+    return assign_dense_ids(
+        doc_lens,
+        [F.col("conv_id").asc(), F.col("turn_idx").asc()],
+        "doc_id",
+        num_partitions=num_partitions,
     )
 
 

@@ -1,0 +1,261 @@
+"""Block-max WAND top-k over the compressed block index.
+
+The scale query path (SURVEY §7.1 step 6): document-space-sharded WAND —
+each (query, doc-range bucket) group runs an independent bounded-heap
+WAND over that bucket's blocks, then a tiny global merge takes the final
+top-k per query. Candidate generation, pruning, and scoring never leave
+the executor; the only shuffles are the (query_id, bucket) grouping of
+matched blocks and the per-query merge of bucket-local top-k rows
+(<= k rows per bucket).
+
+Correctness contract (rank identity with oracle + M1 path):
+- full evaluation accumulates qw·w in ascending term_id order (canonical
+  float order, SURVEY §7.3);
+- the bounded heap orders by (score, -doc_id): first-out is lowest score,
+  then largest doc_id — so ties keep the smallest (conv_id, turn_idx),
+  the MyPriorityQueue contract
+  (/root/reference/src/structures/MyPriorityQueue.java:40-52);
+- upper bounds are clamped at 0 (BM25 IDF goes negative when
+  DF > N/2, and a negative addend would break WAND's prefix-sum
+  pruning argument);
+- prune comparisons are tie-conservative (skip only when strictly below
+  the threshold) so score-equal docs that win by doc-id tie-break are
+  never pruned.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..index.blocks import BlockIndex, decode_postings_block
+
+_INF = np.iinfo(np.int64).max
+
+
+class _ListIter:
+    """Posting-list cursor over one term's blocks within one bucket.
+
+    Blocks decode lazily: ``next_geq`` skips whole blocks on
+    (first_doc, last_doc) metadata before touching payload bytes.
+    """
+
+    __slots__ = (
+        "term_id", "qw", "firsts", "lasts", "maxws", "gaps", "wbytes",
+        "bi", "ids", "ws", "pos", "cur", "ub",
+    )
+
+    def __init__(self, term_id, qw, firsts, lasts, maxws, gaps, wbytes):
+        self.term_id = term_id
+        self.qw = qw
+        self.firsts = firsts
+        self.lasts = lasts
+        self.maxws = maxws
+        self.gaps = gaps
+        self.wbytes = wbytes
+        self.bi = 0
+        self.ids = None
+        self.ws = None
+        self.pos = 0
+        # term-level upper bound within this bucket, clamped at 0
+        self.ub = max(0.0, qw * max(maxws))
+        self._open_block()
+
+    def _open_block(self):
+        if self.bi >= len(self.firsts):
+            self.cur = _INF
+            return
+        self.ids, self.ws = decode_postings_block(
+            self.firsts[self.bi], self.gaps[self.bi], self.wbytes[self.bi]
+        )
+        self.pos = 0
+        self.cur = int(self.ids[0])
+
+    def block_max_geq(self, target: int) -> float:
+        """Shallow move: per-block max for the block that would contain
+        ``target`` (no decode). Clamped at 0."""
+        bi = self.bi
+        while bi < len(self.lasts) and self.lasts[bi] < target:
+            bi += 1
+        if bi >= len(self.lasts):
+            return 0.0
+        return max(0.0, self.qw * self.maxws[bi])
+
+    def block_last(self, target: int) -> int:
+        """last_doc of the block that would contain target (for BMW
+        skip-to-boundary moves)."""
+        bi = self.bi
+        while bi < len(self.lasts) and self.lasts[bi] < target:
+            bi += 1
+        if bi >= len(self.lasts):
+            return _INF
+        return int(self.lasts[bi])
+
+    def next_geq(self, target: int):
+        if self.cur >= target:
+            return
+        while self.bi < len(self.lasts) and self.lasts[self.bi] < target:
+            self.bi += 1
+            self.ids = None
+        if self.bi >= len(self.lasts):
+            self.cur = _INF
+            return
+        if self.ids is None:
+            self._open_block()
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):
+            # target fell in a gap right after this block's last id
+            self.bi += 1
+            self.ids = None
+            if self.bi >= len(self.lasts):
+                self.cur = _INF
+                return
+            self._open_block()
+        else:
+            self.cur = int(self.ids[self.pos])
+
+    def advance(self):
+        self.pos += 1
+        if self.pos < len(self.ids):
+            self.cur = int(self.ids[self.pos])
+        else:
+            self.bi += 1
+            self.ids = None
+            if self.bi >= len(self.lasts):
+                self.cur = _INF
+            else:
+                self._open_block()
+
+    def weight_at_cur(self) -> float:
+        return float(self.ws[self.pos])
+
+
+def _wand_bucket(lists: list[_ListIter], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND over one bucket; returns [(doc_id, score)] top-k."""
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    by_tid = sorted(lists, key=lambda x: x.term_id)
+
+    while True:
+        live = [x for x in by_tid if x.cur != _INF]
+        if not live:
+            break
+        live.sort(key=lambda x: x.cur)
+        full = len(heap) >= k
+        # pivot selection on clamped term UBs; tie-conservative (>=):
+        # a doc scoring exactly theta can still enter by doc-id tie-break
+        acc = 0.0
+        pivot = -1
+        for i, L in enumerate(live):
+            acc += L.ub
+            if not full or acc >= heap[0][0]:
+                pivot = i
+                break
+        if pivot == -1:
+            break
+        pivot_doc = live[pivot].cur
+        if live[0].cur == pivot_doc:
+            # edge = last list whose cursor sits on pivot_doc — lists past
+            # the pivot can also hold pivot_doc and contribute to it, so
+            # both the bound and the skip must cover them
+            edge = pivot
+            while edge + 1 < len(live) and live[edge + 1].cur == pivot_doc:
+                edge += 1
+            # block-max validation (shallow, no decode)
+            if full:
+                bm = 0.0
+                for L in live[: edge + 1]:
+                    bm += L.block_max_geq(pivot_doc)
+                if bm < heap[0][0]:
+                    # BMW skip: past the nearest block boundary, but never
+                    # past the first cursor beyond the edge — docs in
+                    # (pivot_doc, boundary] may score from later lists too
+                    boundary = min(L.block_last(pivot_doc) for L in live[: edge + 1])
+                    target = boundary + 1 if boundary != _INF else _INF
+                    if edge + 1 < len(live):
+                        target = min(target, live[edge + 1].cur)
+                    if target <= pivot_doc:
+                        target = pivot_doc + 1
+                    for L in live[: edge + 1]:
+                        L.next_geq(target)
+                    continue
+            # full evaluation in ascending term_id order
+            score = 0.0
+            for L in by_tid:
+                if L.cur == pivot_doc:
+                    score += L.qw * L.weight_at_cur()
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            for L in by_tid:
+                if L.cur == pivot_doc:
+                    L.advance()
+        else:
+            # advance all lists before the pivot up to pivot_doc
+            for L in live[:pivot]:
+                L.next_geq(pivot_doc)
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
+def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel for one (query_id, bucket) group."""
+    query_id = pdf["query_id"].iloc[0]
+    k = int(pdf["k"].iloc[0])
+    lists = []
+    for term_id, g in pdf.groupby("term_id", sort=True):
+        g = g.sort_values("block_seq")
+        lists.append(
+            _ListIter(
+                int(term_id),
+                float(g["qw"].iloc[0]),
+                g["first_doc"].to_numpy(dtype=np.int64),
+                g["last_doc"].to_numpy(dtype=np.int64),
+                g["max_weight"].to_numpy(dtype=np.float64),
+                g["doc_gaps"].tolist(),
+                g["weights"].tolist(),
+            )
+        )
+    top = _wand_bucket(lists, k)
+    return pd.DataFrame(
+        {
+            "query_id": [query_id] * len(top),
+            "doc_id": [d for d, _ in top],
+            "score": [s for _, s in top],
+            "k": [k] * len(top),
+        }
+    )
+
+
+def wand_topk(index: BlockIndex, query_terms: DataFrame) -> DataFrame:
+    """query_terms(query_id, term, qw, k) → (query_id, rank, conv_id,
+    turn_idx, score): the block-max WAND retrieval plan."""
+    qt = query_terms.join(
+        F.broadcast(index.terms.select("term", "term_id")), "term", "inner"
+    ).select("query_id", "term_id", "qw", "k")
+
+    matched = index.blocks.join(F.broadcast(qt), "term_id")
+
+    local = matched.groupBy("query_id", "bucket").applyInPandas(
+        _kernel, schema="query_id string, doc_id long, score double, k int"
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    topk = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+    )
+    return (
+        topk.join(
+            index.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+        )
+        .select("query_id", "rank", "conv_id", "turn_idx", "score")
+    )

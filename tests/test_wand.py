@@ -1,0 +1,58 @@
+"""Block index + block-max WAND: rank identity vs oracle and M1 path."""
+
+from __future__ import annotations
+
+from ir_base_spark.index.blocks import build_block_index
+from ir_base_spark.index.build import build_index
+from ir_base_spark.index.dictionary import assign_doc_ids
+from ir_base_spark.oracle import build_oracle_index, search_all
+from ir_base_spark.query.dataframe_bm25 import analyze_query_terms, topk_search
+from tests.test_rank_identity import _compare, _oracle_docs
+
+
+def test_wand_rank_identity(spark, fixture_small):
+    from ir_base_spark.query.wand import wand_topk
+
+    t = fixture_small.transcripts
+    q = fixture_small.queries
+
+    oracle_idx = build_oracle_index(_oracle_docs(t))
+    expected = search_all(
+        oracle_idx, list(zip(q["query_id"], q["query_text"], q["k"]))
+    )
+
+    sdf = spark.createDataFrame(t)
+    index = build_index(spark, sdf)
+    docs = assign_doc_ids(index.doc_lens)
+    # small bucket_bits + block_size force multi-bucket, multi-block paths
+    bindex = build_block_index(index, docs, block_size=16, bucket_bits=9)
+
+    qt = analyze_query_terms(spark, q)
+    got = wand_topk(bindex, qt).collect()
+    _compare(got, expected)
+
+
+def test_wand_matches_m1_bitwise(spark, fixture_small):
+    """WAND and the M1 DataFrame path accumulate in the same canonical
+    order → identical scores (well under tolerance) and identical ranks."""
+    from ir_base_spark.query.wand import wand_topk
+
+    t = fixture_small.transcripts
+    q = fixture_small.queries.head(20)
+    sdf = spark.createDataFrame(t)
+    index = build_index(spark, sdf)
+    qt = analyze_query_terms(spark, q)
+
+    m1 = {(r["query_id"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+          for r in topk_search(index, qt).collect()}
+
+    docs = assign_doc_ids(index.doc_lens)
+    bindex = build_block_index(index, docs, block_size=32, bucket_bits=10)
+    wd = {(r["query_id"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+          for r in wand_topk(bindex, qt).collect()}
+
+    assert set(m1) == set(wd)
+    for key in m1:
+        assert m1[key][0] == wd[key][0]
+        assert m1[key][1] == wd[key][1]
+        assert abs(m1[key][2] - wd[key][2]) < 1e-12

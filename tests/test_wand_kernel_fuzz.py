@@ -1,0 +1,61 @@
+"""Property fuzz of the pure-Python WAND kernel vs brute force.
+
+Catches pruning-soundness bugs (e.g. under-counted block-max bounds)
+without Spark in the loop. Negative weights are included deliberately:
+BM25 IDF goes negative for DF > N/2 and the kernel's UB clamping must
+stay sound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ir_base_spark.index.blocks import encode_postings_block
+from ir_base_spark.query.wand import _ListIter, _wand_bucket
+
+
+def _run_trial(rng) -> None:
+    n_docs = int(rng.integers(5, 300))
+    n_terms = int(rng.integers(1, 7))
+    k = int(rng.integers(1, 15))
+    block_size = int(rng.integers(2, 10))
+    lists = []
+    truth: dict[int, float] = {}
+    for tid in range(n_terms):
+        n_post = int(rng.integers(1, n_docs + 1))
+        ids = np.sort(rng.choice(n_docs, size=n_post, replace=False)).astype(np.int64)
+        ws = rng.normal(loc=1.0, size=n_post)
+        qw = float(rng.integers(1, 4))
+        firsts, lasts, maxws, gaps, wb = [], [], [], [], []
+        for off in range(0, n_post, block_size):
+            f, l, m, g, w_ = encode_postings_block(
+                ids[off : off + block_size], ws[off : off + block_size]
+            )
+            firsts.append(f)
+            lasts.append(l)
+            maxws.append(m)
+            gaps.append(g)
+            wb.append(w_)
+        lists.append(
+            _ListIter(
+                tid, qw,
+                np.array(firsts, dtype=np.int64),
+                np.array(lasts, dtype=np.int64),
+                np.array(maxws, dtype=np.float64),
+                gaps, wb,
+            )
+        )
+        for d, w2 in zip(ids, ws):
+            truth[d] = truth.get(d, 0.0) + qw * float(w2)
+    expect = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:k]
+    got = _wand_bucket(lists, k)
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[0] == e[0], f"doc {g[0]} vs {e[0]}"
+        assert abs(g[1] - e[1]) < 1e-12
+
+
+def test_wand_kernel_fuzz():
+    rng = np.random.default_rng(1234)
+    for _ in range(250):
+        _run_trial(rng)
