@@ -1,38 +1,538 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a thin adapter over the ir_base_spark library
+(operators per SURVEY.md §2 + the large-scale text-pipeline ops); each
+``oracle_sql()`` entry is the exact ANSI-SQL/DuckDB equivalent. Computed
+columns are rounded (4-6 dp) on BOTH sides so order-of-summation float
+noise cannot flip a value hash, and every ranking ranks on the rounded
+value with an explicit id tie-break so boundary rows match exactly.
+
+Ops with engine-specific hashing (xxhash64) or Porter2 stemming have no
+SQL oracle and rely on the rows-only check plus the pytest suite
+(tests/test_rank_identity.py etc.).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BM25_QUERY_TERMS = ["spark", "join", "window"]
+BM25_K = 20
+WAND_K = 15
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_transcripts(documents: DataFrame) -> DataFrame:
+    """documents → transcripts shape; conv_id zero-padded so string order
+    == numeric doc_id order (stable-ordering contract)."""
+    return documents.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+
+
+def _bm25_query_pdf(k: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": ["q-0001"],
+            "query_text": [" ".join(BM25_QUERY_TERMS)],
+            "k": [k],
+        }
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path (mapInPandas tokenize → dictionary → BM25 weights
+    → scoring join), simple analyzer so DuckDB can replicate exactly."""
+    from ir_base_spark.index.build import build_index
+    from ir_base_spark.query.dataframe_bm25 import analyze_query_terms, score_all
+    from pyspark.sql import Window
+
+    t = _docs_as_transcripts(_docs(spark, sf_dir))
+    idx = build_index(spark, t, analyzer="simple")
+    qt = analyze_query_terms(spark, _bm25_query_pdf(BM25_K), analyzer="simple")
+    scores = score_all(idx, qt).withColumn("score6", F.round(F.col("score"), 6))
+    w = Window.orderBy(F.col("score6").desc(), F.col("conv_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select(
+            "rank",
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "score6",
+        )
+    )
+
+
+def q_bm25_topk_docs_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking through the compressed-block + block-max WAND path."""
+    from ir_base_spark.index.blocks import build_block_index
+    from ir_base_spark.index.build import build_index
+    from ir_base_spark.index.dictionary import assign_doc_ids
+    from ir_base_spark.query.dataframe_bm25 import analyze_query_terms
+    from ir_base_spark.query.wand import wand_topk
+
+    t = _docs_as_transcripts(_docs(spark, sf_dir))
+    idx = build_index(spark, t, analyzer="simple")
+    docs = assign_doc_ids(idx.doc_lens)
+    bidx = build_block_index(idx, docs, block_size=64, bucket_bits=8)
+    qt = analyze_query_terms(spark, _bm25_query_pdf(WAND_K), analyzer="simple")
+    out = wand_topk(bidx, qt)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score6"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import term_stats
+
+    return term_stats(_docs(spark, sf_dir))
+
+
+def q_term_percentile_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import term_percentile_slice
+
+    return term_percentile_slice(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, max_doc_id=200)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import text_stats
+
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import langid_en
+
+    return langid_en(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.similarity import cosine_topk
+
+    return cosine_topk(_tbl(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_tbl(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.relational import pricing_summary
+
+    return pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.relational import revenue_by_nation
+
+    return revenue_by_nation(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.relational import top_customers_per_nation
+
+    return top_customers_per_nation(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.relational import customers_without_orders
+
+    return customers_without_orders(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def q_priority_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.relational import order_priority_distinct_union
+
+    return order_priority_distinct_union(_tbl(spark, sf_dir, "orders"))
+
+
+def q_user_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.relational import user_event_sessions
+
+    return user_event_sessions(_tbl(spark, sf_dir, "events"))
+
+
+def q_ndcg_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.relational import ndcg_by_event_type
+
+    return ndcg_by_event_type(_tbl(spark, sf_dir, "events"))
+
+
+def q_transcripts_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship: synthetic transcripts (FIXTURES.md), full
+    reference analyzer (Porter2 + stopwords + NUM), block index, WAND.
+    No SQL oracle (Porter2 not expressible in SQL) — rank identity is
+    asserted against the single-node oracle in pytest instead."""
+    from ir_base_spark.fixtures import make_fixture
+    from ir_base_spark.index.blocks import build_block_index
+    from ir_base_spark.index.build import build_index
+    from ir_base_spark.index.dictionary import assign_doc_ids
+    from ir_base_spark.query.dataframe_bm25 import analyze_query_terms
+    from ir_base_spark.query.wand import wand_topk
+
+    fx = make_fixture(n_conversations=100, seed=42, n_queries=25)
+    t = spark.createDataFrame(fx.transcripts)
+    idx = build_index(spark, t)
+    docs = assign_doc_ids(idx.doc_lens)
+    bidx = build_block_index(idx, docs)
+    qt = analyze_query_terms(spark, fx.queries)
+    return wand_topk(bidx, qt)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship smoke: engine BM25 top-k over sf0.001 documents."""
+    return q_bm25_topk_docs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "bm25_topk_docs_wand": q_bm25_topk_docs_wand,
+        "token_counts": q_token_counts,
+        "term_stats": q_term_stats,
+        "term_percentile_slice": q_term_percentile_slice,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "customers_without_orders": q_customers_without_orders,
+        "priority_distinct_union": q_priority_distinct_union,
+        "user_event_sessions": q_user_event_sessions,
+        "ndcg_by_event_type": q_ndcg_by_event_type,
+        "transcripts_bm25_wand": q_transcripts_bm25_wand,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> '')
+"""
+
+_BM25_CTE = (
+    _TOK_CTE
+    + """,
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS navg FROM dl),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('spark'), ('join'), ('window')),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln((st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.5
+             / (1.5 * (0.25 + 0.75 * dl.dl / st.navg) + tf.tf)) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfx USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+"""
+)
+
+
+def _stopword_in_list() -> str:
+    from ir_base_spark.text.stopwords import RAW_STOPWORDS
+
+    words = sorted({w for w in RAW_STOPWORDS if "'" not in w})
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_TEXT_STATS_SQL = (
+    "WITH "
+    + _TOK_CTE
+    + f""",
+per AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         round(avg(length(term)), 6) AS mean_tok_len,
+         round(avg(CASE WHEN term IN ({{STOP}}) THEN 1.0 ELSE 0.0 END), 6)
+             AS stopword_ratio,
+         round(avg(CASE WHEN regexp_matches(term, '^[0-9]+$') THEN 1.0
+                        ELSE 0.0 END), 6) AS digit_ratio
+  FROM tok2 GROUP BY doc_id
+)
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _stopword_in_list()
+    text_stats_cte = _TEXT_STATS_SQL.replace("{STOP}", stop)
+    return {
+        "bm25_topk_docs": f"""
+WITH {_BM25_CTE}
+SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS INT)
+           AS rank,
+       doc_id,
+       round(score, 6) AS score6
+FROM sc
+QUALIFY rank <= {BM25_K}
+""",
+        "bm25_topk_docs_wand": f"""
+WITH {_BM25_CTE}
+SELECT doc_id, round(score, 6) AS score6
+FROM sc
+ORDER BY score DESC, doc_id ASC
+LIMIT {WAND_K}
+""",
+        "token_counts": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term
+""",
+        "term_stats": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term
+""",
+        "term_percentile_slice": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+          FROM tf GROUP BY term),
+pr AS (SELECT term, df, ttf,
+              percent_rank() OVER (ORDER BY df ASC, term ASC) AS pr
+       FROM stats)
+SELECT term, df, ttf FROM pr WHERE pr >= 0.4 AND pr < 0.9
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""",
+        "ngram_jaccard": """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 1) + 1),
+             i -> substr(lower(text), CAST(i AS INT), 3)))) AS sh
+  FROM documents WHERE doc_id < 200
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
+""",
+        "text_stats": text_stats_cte
+        + "SELECT doc_id, n_tokens, mean_tok_len, stopword_ratio, digit_ratio FROM per",
+        "langid": text_stats_cte
+        + """
+SELECT doc_id, CAST(stopword_ratio >= 0.08 AS INT) AS is_en FROM per
+""",
+        "quality_score": text_stats_cte
+        + """
+SELECT doc_id,
+       floor((least(n_tokens / 100.0, 1.0) * 0.4
+              + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.3
+              + least(stopword_ratio * 5.0, 1.0) * 0.3) * 1000000.0 + 0.5)
+           / 1000000.0 AS quality
+FROM per
+""",
+        "doc_fingerprint": """
+SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fingerprint FROM documents
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sim AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS sim6
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id <> 0
+)
+SELECT CAST(row_number() OVER (ORDER BY sim6 DESC, vec_id ASC) AS INT) AS rank,
+       vec_id, sim6
+FROM sim
+QUALIFY rank <= 10
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+           AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "top_customers_per_nation": """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT n_name, c_custkey, total_spend
+  FROM spend
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       CAST(row_number() OVER (PARTITION BY n_name
+                               ORDER BY total_spend DESC, c_custkey ASC) AS INT)
+           AS rank,
+       c_custkey, total_spend
+FROM j
+QUALIFY rank <= 3
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "priority_distinct_union": """
+SELECT DISTINCT o_orderpriority FROM (
+  SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000
+  UNION ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""",
+        "user_event_sessions": """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       round(sum(value), 6) AS session_value
+FROM sess GROUP BY user_id, session_seq
+""",
+        "ndcg_by_event_type": """
+WITH agg AS (
+  SELECT event_type, user_id, sum(value) AS total_value,
+         CAST(user_id % 4 AS DOUBLE) AS rel
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, rel,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id ASC) AS rank,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY rel DESC, user_id ASC) AS irank
+  FROM agg
+)
+SELECT event_type,
+       round(sum(CASE WHEN rank <= 10
+                      THEN (pow(2.0, rel) - 1.0) / ln(rank + 1.0)
+                      ELSE 0.0 END)
+             / sum(CASE WHEN irank <= 10
+                        THEN (pow(2.0, rel) - 1.0) / ln(irank + 1.0)
+                        ELSE 0.0 END), 6) AS ndcg
+FROM ranked GROUP BY event_type
+""",
+    }

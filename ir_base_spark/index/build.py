@@ -37,6 +37,7 @@ class InvertedIndex:
     ngrams: int
     scheme: str
     norm: int
+    analyzer: str = "reference"
 
 
 def build_index(
@@ -49,9 +50,13 @@ def build_index(
     scheme: str = "BM25",
     norm: int = 0,
     cache: bool = True,
+    analyzer: str = "reference",
 ) -> InvertedIndex:
     raw = tokenize_turns(
-        transcripts, ngrams=ngrams, min_distinct_terms=min_distinct_terms
+        transcripts,
+        ngrams=ngrams,
+        min_distinct_terms=min_distinct_terms,
+        analyzer=analyzer,
     )
     if cache:
         # one tokenize pass feeds both the dictionary agg and the
@@ -100,4 +105,5 @@ def build_index(
         ngrams=ngrams,
         scheme=scheme,
         norm=norm,
+        analyzer=analyzer,
     )

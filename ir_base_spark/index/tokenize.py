@@ -30,6 +30,7 @@ def tokenize_turns(
     ngrams: int = 1,
     min_distinct_terms: int = 0,
     text_col: str = "text",
+    analyzer: str = "reference",
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) → raw postings.
 
@@ -54,7 +55,11 @@ def tokenize_turns(
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"].values, pdf["turn_idx"].values, pdf[text_col].values
             ):
-                tc = term_counts(text if isinstance(text, str) else "", ngrams=ngrams)
+                tc = term_counts(
+                    text if isinstance(text, str) else "",
+                    ngrams=ngrams,
+                    analyzer=analyzer,
+                )
                 if len(tc) <= min_distinct_terms:
                     continue
                 dl = float(sum(tc.values()))

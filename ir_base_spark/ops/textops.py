@@ -1,0 +1,350 @@
+"""Large-scale text-pipeline operators over a documents table.
+
+Everything here is pure Catalyst column algebra (whole-stage codegen; no
+Python UDFs) unless noted — the tokenizer used for SQL-verifiable ops is
+``lower + split('[^a-z0-9]+')`` so each operator has an exact DuckDB
+oracle. Reference analogs cited per function; the scale notes say what
+each plan does at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..text.stopwords import RAW_STOPWORDS
+
+SPLIT_RE = "[^a-z0-9]+"
+
+
+def simple_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, term) exploded token stream — scan-side projection keeps
+    only (doc_id, text); Catalyst prunes every other column."""
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), SPLIT_RE)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """TF per (doc, term) — constructSpVct analog
+    (/root/reference/src/Analyzer/DocAnalyzer.java:377-423). One shuffle
+    on (doc_id, term); partial aggregation is map-side."""
+    return (
+        simple_tokens(documents)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_stats(documents: DataFrame) -> DataFrame:
+    """Exact DF/TTF per term (_stat analog,
+    /root/reference/src/structures/_stat.java:54-62)."""
+    return (
+        token_counts(documents)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf"))
+    )
+
+
+def term_percentile_slice(
+    documents: DataFrame, start: float = 0.4, end: float = 0.9
+) -> DataFrame:
+    """DF-ranked percentile slice of the dictionary — the feature-selection
+    percentile cut (/root/reference/src/Analyzer/FeatureSelector.java:47-61):
+    sort terms ascending by DF, keep [start, end) of the distribution."""
+    stats = term_stats(documents)
+    w = Window.orderBy(F.col("df").asc(), F.col("term").asc())
+    return (
+        stats.withColumn("pr", F.percent_rank().over(w))
+        .filter((F.col("pr") >= start) & (F.col("pr") < end))
+        .select("term", "df", "ttf")
+    )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score): BM25 over the simple-tokenized documents table,
+    k1/b and IDF per the reference
+    (/root/reference/src/Analyzer/Analyzer.java:235-263). Declarative
+    DataFrame build (the engine's mapInPandas path is exercised by the
+    transcripts tests; this variant is pure Catalyst so the whole plan is
+    codegen'd and SQL-verifiable)."""
+    tf = token_counts(documents).withColumn("tf", F.col("tf").cast("double"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("navg")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    q = tf.sparkSession.createDataFrame(
+        [(t, 1.0) for t in query_terms], "term string, qw double"
+    )
+    joined = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = (
+        F.col("qw")
+        * F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * (k1 + 1.0)
+        / (F.lit(k1) * (1.0 - b + b * F.col("dl") / F.col("navg")) + F.col("tf"))
+    )
+    return joined.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def bm25_topk(
+    documents: DataFrame, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """(rank, doc_id, score6): rank on the 6-dp-rounded score so the
+    boundary tie-break (doc_id asc) is float-order-independent and the
+    DuckDB oracle agrees bit-for-bit."""
+    scores = bm25_scores(documents, query_terms).withColumn(
+        "score6", F.round(F.col("score"), 6)
+    )
+    w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score6")
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy dedup).
+
+    At 100 TB: md5 computed scan-side (codegen), shuffle carries only
+    (hash, doc_id) — never the text."""
+    return (
+        documents.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingles(col, n: int = 3):
+    """Distinct character n-gram shingle array (codegen'd: sequence +
+    transform + array_distinct)."""
+    t = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: F.substring(t, i, n),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    shingle: int = 3,
+    max_doc_id: int | None = 200,
+) -> DataFrame:
+    """Near-duplicate pairs by character-3-gram Jaccard.
+
+    This is the exact (quadratic) variant used as the oracle-checkable
+    baseline on a bounded id range; minhash_lsh_candidates is the scale
+    path (candidate generation without the cross join). Jaccard =
+    |A∩B|/|A∪B| via sort-merge of exploded shingles — the reference's
+    sorted-vector jaccard (/root/reference/src/utils/Utils.java:343-362).
+    """
+    docs = documents
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), shingle)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b_ = sh.alias("b")
+    inter = (
+        a.join(b_, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, shingle: int = 3
+) -> DataFrame:
+    """MinHash signatures: h_i(x) = (a_i·x + b_i) mod p over xxhash64
+    shingle keys — all codegen'd column math, no UDF.
+
+    (doc_id, sig: array<bigint>). Deterministic (fixed seed constants).
+    """
+    # 31-bit Mersenne prime: (x % p) * a + b stays far below 2^63, so the
+    # expression is safe under ANSI overflow checking
+    p = (1 << 31) - 1
+    import random
+
+    rnd = random.Random(20240816)
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+    sh = documents.select(
+        "doc_id", F.explode(_shingles(F.col("text"), shingle)).alias("sh")
+    ).withColumn("x", F.pmod(F.xxhash64(F.col("sh")), F.lit(p)))
+    mins = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+) -> DataFrame:
+    """LSH banding: band-hash self-join → candidate pairs (doc_a < doc_b).
+
+    The scale path for near-dup: shuffle keys are (band, band_hash)
+    buckets, so the quadratic blowup is confined to same-bucket docs.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes=num_hashes, shingle=shingle)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over token xxhash64 bit votes — pure column algebra:
+    per-bit weighted majority via explode(sequence(0,63)).
+
+    (doc_id, simhash: bigint)."""
+    tf = token_counts(documents).withColumn("h", F.xxhash64(F.col("term")))
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).withColumn(
+        "vote",
+        F.expr(
+            "CASE WHEN (shiftright(h, bit) & 1L) = 1L THEN tf ELSE -tf END"
+        ),
+    )
+    agg = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+# ------------------------------------------------------- text statistics
+
+_STOP_ARR = sorted({w for w in RAW_STOPWORDS if "'" not in w})
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc quality stats: token count, mean token length, stopword
+    ratio, digit-token ratio, punctuation density — the quality-feature
+    family of the reference's ranking features (stopword proportion,
+    /root/reference/src/structures/TokenizeResult.java:10-51; length
+    features, L2RMetricLearning.genRankingFV
+    /root/reference/src/Classifier/metricLearning/L2RMetricLearning.java:347-383).
+
+    All expressible in SQL: aggregates over the exploded token stream.
+    """
+    tok = simple_tokens(documents)
+    stop_set = F.array(*[F.lit(w) for w in _STOP_ARR])
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 6).alias("mean_tok_len"),
+        F.round(
+            F.avg(F.array_contains(stop_set, F.col("term")).cast("double")), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.avg(F.col("term").rlike("^[0-9]+$").cast("double")), 6
+        ).alias("digit_ratio"),
+    )
+    return per_doc
+
+
+def langid_en(documents: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """Heuristic language ID: English iff stopword ratio >= threshold
+    (n-gram/stopword heuristic — deterministic, SQL-checkable)."""
+    return text_stats(documents).select(
+        "doc_id",
+        (F.col("stopword_ratio") >= threshold).cast("int").alias("is_en"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1]: favors mid-length docs with low
+    digit density and a natural stopword rate."""
+    s = text_stats(documents)
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+    )
+    # portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 is the same IEEE op
+    # sequence in every engine (decimal-round half-up implementations
+    # disagree on exact .5 boundaries across engines)
+    quality = F.floor(score * 1000000.0 + 0.5) / 1000000.0
+    return s.select("doc_id", quality.alias("quality"))
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic 64-bit content fingerprint: first 16 hex chars of
+    md5(lower-cased text) — portable across engines."""
+    return documents.select(
+        "doc_id",
+        F.substring(F.md5(F.lower(F.col("text"))), 1, 16).alias("fingerprint"),
+    )

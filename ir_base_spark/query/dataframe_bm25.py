@@ -30,7 +30,10 @@ from ..text.analyze import term_counts
 
 
 def analyze_query_terms(
-    spark: SparkSession, queries: pd.DataFrame, ngrams: int = 1
+    spark: SparkSession,
+    queries: pd.DataFrame,
+    ngrams: int = 1,
+    analyzer: str = "reference",
 ) -> DataFrame:
     """queries(query_id, query_text, k) → DF(query_id, term, qw, k).
 
@@ -42,7 +45,9 @@ def analyze_query_terms(
     for qid, text, k in zip(
         queries["query_id"], queries["query_text"], queries["k"]
     ):
-        for term, tf in sorted(term_counts(text or "", ngrams=ngrams).items()):
+        for term, tf in sorted(
+            term_counts(text or "", ngrams=ngrams, analyzer=analyzer).items()
+        ):
             rows.append((qid, term, float(tf), int(k)))
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["query_id", "term", "qw", "k"]),
@@ -50,11 +55,9 @@ def analyze_query_terms(
     )
 
 
-def topk_search(
-    index,
-    query_terms: DataFrame,
-) -> DataFrame:
-    """→ DF(query_id, rank, conv_id, turn_idx, score), ranks 1..k."""
+def score_all(index, query_terms: DataFrame) -> DataFrame:
+    """→ DF(query_id, conv_id, turn_idx, k, score): every candidate doc
+    (>= 1 matching term) with its full BM25 dot-product score."""
     qt = query_terms.join(
         F.broadcast(index.terms.select("term", "term_id")), "term", "inner"
     ).select("query_id", "term_id", "qw", "k")
@@ -70,13 +73,21 @@ def topk_search(
     )
 
     # deterministic accumulation: sort matched terms by term_id, then fold
-    scores = contrib.groupBy("query_id", "conv_id", "turn_idx", "k").agg(
+    return contrib.groupBy("query_id", "conv_id", "turn_idx", "k").agg(
         F.aggregate(
             F.array_sort(F.collect_list("tc")),
             F.lit(0.0),
             lambda acc, x: acc + x["c"],
         ).alias("score")
     )
+
+
+def topk_search(
+    index,
+    query_terms: DataFrame,
+) -> DataFrame:
+    """→ DF(query_id, rank, conv_id, turn_idx, score), ranks 1..k."""
+    scores = score_all(index, query_terms)
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()

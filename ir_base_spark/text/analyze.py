@@ -110,9 +110,27 @@ def analyze(text: str, ngrams: int = 1) -> list[str]:
     return out
 
 
-def term_counts(text: str, ngrams: int = 1) -> Counter[str]:
+_SIMPLE_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+
+
+def simple_analyze(text: str) -> list[str]:
+    """SQL-equivalent analyzer: lowercase + split on ``[^a-z0-9]+``.
+
+    Exactly expressible in ANSI SQL/DuckDB
+    (``string_split_regex(lower(text), '[^a-z0-9]+')``), which makes every
+    downstream stat/score independently verifiable by a SQL oracle. No
+    stemming, no stopwords, no length bounds.
+    """
+    if not text:
+        return []
+    return [t for t in _SIMPLE_SPLIT_RE.split(text.lower()) if t]
+
+
+def term_counts(text: str, ngrams: int = 1, analyzer: str = "reference") -> Counter[str]:
     """TF map for one document (constructSpVct analog,
     DocAnalyzer.java:377-423)."""
+    if analyzer == "simple":
+        return Counter(simple_analyze(text))
     return Counter(analyze(text, ngrams=ngrams))
 
 
