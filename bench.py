@@ -1,0 +1,168 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- index_build: resumable tokenize/postings build over a synthetic
+  transcripts table sized ~600 turns per conversation-unit of sf
+  (deterministic, cached in /tmp across runs; generation time excluded)
+- index_finalize: dictionary + corpus stats + BM25 weights
+- block_build: doc-id map + compressed posting blocks
+- wand_queries: the 100-query reference set through block-max WAND
+- m1_queries: same set through the pure-DataFrame scoring path
+- plus the headline __spark_entry__ queries on the sf tables, each
+  forced end-to-end with a noop sink.
+
+Output: {"metric": "headline_suite_sec", "value": <total>, "unit":
+"sec", "queries": {name: sec}, "sf": <sf>, "index_turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ENTRY_BENCH_QUERIES = [
+    "bm25_topk_docs",
+    "bm25_topk_docs_wand",
+    "token_counts",
+    "term_stats",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "text_stats",
+    "quality_score",
+    "ann_cosine_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_nation",
+    "user_event_sessions",
+    "ndcg_by_event_type",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _cached_transcripts(spark, n_conversations: int, seed: int = 42):
+    """Generate-once parquet cache for the synthetic transcripts table."""
+    cache = f"/tmp/spark_graft_transcripts_n{n_conversations}_s{seed}"
+    if not os.path.isdir(cache):
+        from ir_base_spark.fixtures import make_transcripts
+
+        pdf = make_transcripts(n_conversations=n_conversations, seed=seed)
+        tmp = cache + "._tmp"
+        spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, cache)
+    return spark.read.parquet(cache)
+
+
+def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
+    from ir_base_spark.fixtures import make_transcripts, make_queries
+    from ir_base_spark.index.blocks import build_block_index
+    from ir_base_spark.index.dictionary import assign_doc_ids
+    from ir_base_spark.index.manifest import finalize_index, resumable_build
+    from ir_base_spark.query.dataframe_bm25 import analyze_query_terms, topk_search
+    from ir_base_spark.query.wand import wand_topk
+
+    t = _cached_transcripts(spark, n_conversations)
+    n_turns = t.count()
+
+    root = tempfile.mkdtemp(prefix="sg_idx_")
+    shutil.rmtree(root)
+    out: dict = {}
+
+    t0 = time.time()
+    report = resumable_build(spark, t, root, num_partitions=32, max_concurrent_jobs=32)
+    out["index_build"] = round(time.time() - t0, 3)
+    out["_turns"] = n_turns
+    out["_turns_per_sec"] = round(n_turns / out["index_build"], 1)
+
+    t0 = time.time()
+    idx = finalize_index(spark, root)
+    idx.weights.cache().count()
+    out["index_finalize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs = assign_doc_ids(idx.doc_lens)
+    bidx = build_block_index(idx, docs)
+    bidx.blocks.cache().count()
+    bidx.docs.cache().count()
+    out["block_build"] = round(time.time() - t0, 3)
+
+    qpdf = make_queries(
+        make_transcripts(n_conversations=min(n_conversations, 200)),
+        n_queries=queries_n,
+    )
+    qt = analyze_query_terms(spark, qpdf).cache()
+    qt.count()
+
+    t0 = time.time()
+    wand_topk(bidx, qt).write.format("noop").mode("overwrite").save()
+    out["wand_queries"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    topk_search(idx, qt).write.format("noop").mode("overwrite").save()
+    out["m1_queries"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    from ir_base_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    import __spark_entry__ as E
+
+    queries: dict[str, float] = {}
+
+    # synthetic transcripts index suite, sized by sf
+    n_conversations = max(int(40000 * sf), 50)
+    idx_times = run_index_bench(spark, n_conversations)
+    turns = idx_times.pop("_turns")
+    tps = idx_times.pop("_turns_per_sec")
+    queries.update(idx_times)
+
+    qs = E.queries()
+    for name in ENTRY_BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "index_turns": turns,
+                "index_turns_per_sec": tps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,334 @@
+"""Resumable index build with per-partition checkpoint manifests.
+
+North rule (BASELINE.json:6,14): a killed build restarts WITHOUT
+recomputing completed partitions; each manifest row carries lineage
+(input snapshot id, partition range) and metrics (postings written,
+bytes compressed, terms/sec). Spark's own commit protocol only makes a
+whole JOB atomic, so the expensive phase — tokenize + posting
+extraction — is committed per partition here:
+
+  index_root/
+    input_parts/partition_id=<p>/   deterministic conv-hash split of the
+                                    input (stage 0, one shuffle)
+    postings/partition_id=<p>/      tokenized postings, written per
+                                    partition via tmp-dir + atomic rename
+    manifest/p<p>.json              one row per COMPLETED partition
+                                    (written after the rename, also
+                                    tmp + atomic rename)
+    stats.json                      pinned corpus constants
+                                    (n_docs, avg_doc_len — SURVEY §7.3)
+
+Partition assignment is pmod(xxhash64(conv_id), P) — deterministic under
+restart and independent of input row order; a conversation never splits
+across partitions. At Iceberg scale, stage 0 is replaced by the table's
+own partitioning/manifest metadata (enumerate data files per partition
+range instead of rewriting); the per-partition commit protocol is
+unchanged. The driver loop issues one Spark job per missing partition —
+each job's input is only that partition's files, so restart cost is
+proportional to MISSING work, not total work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tokenize import tokenize_turns
+
+MANIFEST_VERSION = 1
+
+
+@dataclass
+class PartitionManifest:
+    partition_id: int
+    snapshot_id: str
+    conv_id_min: str
+    conv_id_max: str
+    turns: int
+    postings_written: int
+    bytes_compressed: int
+    wall_sec: float
+    terms_per_sec: float
+    turns_per_sec: float
+    status: str  # only "done" rows are ever written
+    version: int = MANIFEST_VERSION
+
+
+@dataclass
+class BuildReport:
+    snapshot_id: str
+    partitions_total: int
+    partitions_built: int
+    partitions_skipped: int
+    turns_built: int
+    postings_built: int
+    wall_sec: float
+    turns_per_sec: float
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def input_snapshot_id(transcripts: DataFrame) -> str:
+    """Deterministic lineage id: sha1 over the sorted input file list
+    (+sizes), the stand-in for an Iceberg snapshot id. In-memory inputs
+    hash their schema only."""
+    h = hashlib.sha1()
+    files = sorted(transcripts.inputFiles())
+    for f in files:
+        h.update(f.encode())
+        local = f.removeprefix("file:")
+        if os.path.exists(local):
+            h.update(str(os.path.getsize(local)).encode())
+    h.update(transcripts.schema.json().encode())
+    return h.hexdigest()[:16]
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "manifest")
+
+
+def read_manifest(index_root: str) -> dict[int, PartitionManifest]:
+    out: dict[int, PartitionManifest] = {}
+    mdir = _manifest_dir(index_root)
+    if not os.path.isdir(mdir):
+        return out
+    for name in os.listdir(mdir):
+        if name.startswith("p") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                row = json.load(fh)
+            m = PartitionManifest(**row)
+            if m.status == "done":
+                out[m.partition_id] = m
+    return out
+
+
+def _split_input(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_root: str,
+    num_partitions: int,
+) -> str:
+    """Stage 0: deterministic conv-hash split, written once, atomically."""
+    parts_dir = os.path.join(index_root, "input_parts")
+    marker = os.path.join(index_root, "input_parts.done.json")
+    snap = input_snapshot_id(transcripts)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if meta.get("snapshot_id") == snap and meta.get("num_partitions") == num_partitions:
+            return snap
+        raise ValueError(
+            f"index_root {index_root} was split for snapshot "
+            f"{meta.get('snapshot_id')}/{meta.get('num_partitions')} parts; "
+            f"got {snap}/{num_partitions}. Use a fresh index_root."
+        )
+    tmp = parts_dir + "._tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (
+        transcripts.withColumn(
+            "partition_id",
+            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(num_partitions)).cast("int"),
+        )
+        .repartition(num_partitions, "partition_id")
+        .write.partitionBy("partition_id")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    if os.path.isdir(parts_dir):
+        shutil.rmtree(parts_dir)
+    os.replace(tmp, parts_dir)
+    _atomic_write_json(
+        marker, {"snapshot_id": snap, "num_partitions": num_partitions}
+    )
+    return snap
+
+
+def _build_one_partition(
+    spark: SparkSession,
+    index_root: str,
+    snap: str,
+    pid: int,
+    ngrams: int,
+    analyzer: str,
+    min_distinct_terms: int,
+) -> PartitionManifest:
+    post_root = os.path.join(index_root, "postings")
+    part_path = os.path.join(index_root, "input_parts", f"partition_id={pid}")
+    final_dir = os.path.join(post_root, f"partition_id={pid}")
+    if not os.path.isdir(part_path):
+        # hash bucket got no conversations (tiny inputs)
+        m = PartitionManifest(
+            partition_id=pid, snapshot_id=snap, conv_id_min="", conv_id_max="",
+            turns=0, postings_written=0, bytes_compressed=0, wall_sec=0.0,
+            terms_per_sec=0.0, turns_per_sec=0.0, status="done",
+        )
+        _atomic_write_json(
+            os.path.join(_manifest_dir(index_root), f"p{pid}.json"), asdict(m)
+        )
+        return m
+    p0 = time.time()
+    part_df = spark.read.parquet(part_path)
+    postings = tokenize_turns(
+        part_df,
+        ngrams=ngrams,
+        min_distinct_terms=min_distinct_terms,
+        analyzer=analyzer,
+    )
+    tmp_dir = os.path.join(post_root, f"._tmp_p{pid}")
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    postings.write.mode("overwrite").parquet(tmp_dir)
+    # metrics from the written output (no extra pass over the input)
+    out = spark.read.parquet(tmp_dir)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("postings"),
+        F.min("conv_id").alias("cmin"),
+        F.max("conv_id").alias("cmax"),
+        F.countDistinct("conv_id", "turn_idx").alias("turns"),
+        F.sum("tf").alias("terms"),
+    ).collect()[0]
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+    wall = time.time() - p0
+    nbytes = _dir_bytes(final_dir)
+    m = PartitionManifest(
+        partition_id=pid,
+        snapshot_id=snap,
+        conv_id_min=str(agg["cmin"] or ""),
+        conv_id_max=str(agg["cmax"] or ""),
+        turns=int(agg["turns"] or 0),
+        postings_written=int(agg["postings"] or 0),
+        bytes_compressed=nbytes,
+        wall_sec=wall,
+        terms_per_sec=float(agg["terms"] or 0.0) / wall if wall > 0 else 0.0,
+        turns_per_sec=int(agg["turns"] or 0) / wall if wall > 0 else 0.0,
+        status="done",
+    )
+    _atomic_write_json(
+        os.path.join(_manifest_dir(index_root), f"p{pid}.json"), asdict(m)
+    )
+    return m
+
+
+def resumable_build(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_root: str,
+    num_partitions: int = 32,
+    ngrams: int = 1,
+    analyzer: str = "reference",
+    min_distinct_terms: int = 0,
+    max_concurrent_jobs: int = 8,
+) -> BuildReport:
+    """Build (or resume) the tokenize/postings phase under ``index_root``.
+
+    Idempotent: rerunning after a kill skips every partition with a
+    'done' manifest row; their outputs are untouched (asserted
+    byte-identical in tests/test_resume.py). Missing partitions run as
+    independent concurrent Spark jobs (the commit unit stays one
+    partition — same protocol a multi-executor cluster runs, where many
+    partition jobs are in flight at once).
+    """
+    os.makedirs(index_root, exist_ok=True)
+    os.makedirs(_manifest_dir(index_root), exist_ok=True)
+    t0 = time.time()
+    snap = _split_input(spark, transcripts, index_root, num_partitions)
+
+    done = read_manifest(index_root)
+    stale = [p for p, m in done.items() if m.snapshot_id != snap]
+    if stale:
+        raise ValueError(
+            f"manifest rows for snapshot(s) != {snap} present: {stale}; "
+            "use a fresh index_root"
+        )
+
+    os.makedirs(os.path.join(index_root, "postings"), exist_ok=True)
+    todo = [pid for pid in range(num_partitions) if pid not in done]
+    skipped = num_partitions - len(todo)
+    built = turns_total = postings_total = 0
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, max_concurrent_jobs)) as pool:
+        for m in pool.map(
+            lambda pid: _build_one_partition(
+                spark, index_root, snap, pid, ngrams, analyzer,
+                min_distinct_terms,
+            ),
+            todo,
+        ):
+            built += 1
+            turns_total += m.turns
+            postings_total += m.postings_written
+
+    wall = time.time() - t0
+    return BuildReport(
+        snapshot_id=snap,
+        partitions_total=num_partitions,
+        partitions_built=built,
+        partitions_skipped=skipped,
+        turns_built=turns_total,
+        postings_built=postings_total,
+        wall_sec=wall,
+        turns_per_sec=turns_total / wall if wall > 0 else 0.0,
+    )
+
+
+def load_postings(spark: SparkSession, index_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_root, "postings"))
+
+
+def finalize_index(
+    spark: SparkSession,
+    index_root: str,
+    scheme: str = "BM25",
+    norm: int = 0,
+    min_df: int = 1,
+    max_df: int | None = None,
+):
+    """Derived phase: dictionary + corpus stats + weighted postings from
+    the checkpointed raw postings (cheap relative to tokenize; reruns
+    wholesale on resume). Returns an InvertedIndex and pins stats.json.
+    """
+    from .build import InvertedIndex
+    from .dictionary import build_dictionary, corpus_stats
+    from .weights import set_feature_values
+
+    raw = load_postings(spark, index_root).drop("partition_id")
+    terms = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
+    doc_lens = raw.groupBy("conv_id", "turn_idx").agg(
+        F.first("doc_len").alias("doc_len")
+    ).cache()
+    n_docs, avg_doc_len = corpus_stats(doc_lens)
+    _atomic_write_json(
+        os.path.join(index_root, "stats.json"),
+        {"n_docs": n_docs, "avg_doc_len": avg_doc_len, "scheme": scheme, "norm": norm},
+    )
+    weights = set_feature_values(raw, terms, n_docs, avg_doc_len, scheme=scheme, norm=norm)
+    return InvertedIndex(
+        terms=terms, weights=weights, doc_lens=doc_lens,
+        n_docs=n_docs, avg_doc_len=avg_doc_len,
+        ngrams=1, scheme=scheme, norm=norm,
+    )

@@ -1,0 +1,92 @@
+"""spark-submit entry point: BM25 top-k queries against a built index.
+
+    spark-submit --py-files ir_base_spark.zip jobs/query.py \
+        --index-root /path/to/index \
+        --queries /path/to/queries.parquet \
+        [--engine wand|dataframe] [--output /path/out.parquet]
+
+queries.parquet columns: query_id string, query_text string, k int
+(FIXTURES.md §2). Results: (query_id, rank, conv_id, turn_idx, score).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-root", required=True)
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--engine", default="wand", choices=["wand", "dataframe"])
+    ap.add_argument("--analyzer", default="reference", choices=["reference", "simple"])
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--bucket-bits", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("ir-base-spark-query").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ir_base_spark.index.blocks import BlockIndex
+    from ir_base_spark.index.build import InvertedIndex
+    from ir_base_spark.query.dataframe_bm25 import analyze_query_terms, topk_search
+    from ir_base_spark.query.wand import wand_topk
+
+    root = args.index_root
+    with open(os.path.join(root, "stats.json")) as fh:
+        stats = json.load(fh)
+    terms = spark.read.parquet(os.path.join(root, "terms"))
+
+    qpdf = spark.read.parquet(args.queries).toPandas()
+    qt = analyze_query_terms(spark, qpdf, analyzer=args.analyzer)
+
+    t0 = time.time()
+    if args.engine == "wand":
+        bidx = BlockIndex(
+            blocks=spark.read.parquet(os.path.join(root, "blocks")),
+            docs=spark.read.parquet(os.path.join(root, "docs")),
+            terms=terms,
+            n_docs=stats["n_docs"],
+            avg_doc_len=stats["avg_doc_len"],
+            ngrams=1,
+            block_size=args.block_size,
+            bucket_bits=args.bucket_bits,
+        )
+        out = wand_topk(bidx, qt)
+    else:
+        from ir_base_spark.index.manifest import finalize_index
+
+        idx = finalize_index(
+            spark, root, scheme=stats.get("scheme", "BM25"),
+            norm=stats.get("norm", 0),
+        )
+        out = topk_search(idx, qt)
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = out.count()
+    print(
+        json.dumps(
+            {
+                "engine": args.engine,
+                "queries": len(qpdf),
+                "result_rows": n,
+                "query_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Two-parallelism scaling run: the sandbox stand-in for N vs 4N executors.
+
+Runs the IDENTICAL index-build + query job on the SAME input at
+local[8] and local[32] (fresh JVM per run, via subprocess) and reports
+throughput at both plus scaling efficiency = (T_N / T_4N) / 4. Writes
+BENCH/BASELINE.md and BENCH/scaling.json.
+
+    python tools/scaling_run.py [--convs 8000] [--cores 8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _ensure_input(n_conversations: int, seed: int = 42) -> str:
+    cache = f"/tmp/spark_graft_transcripts_n{n_conversations}_s{seed}"
+    if os.path.isdir(cache):
+        return cache
+    from ir_base_spark.fixtures import make_transcripts
+    from ir_base_spark.session import get_spark
+
+    spark = get_spark(app_name="gen", cores=8, shuffle_partitions=8)
+    pdf = make_transcripts(n_conversations=n_conversations, seed=seed)
+    tmp = cache + "._tmp"
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, cache)
+    spark.stop()
+    return cache
+
+
+def child(cores: int, input_path: str, n_queries: int) -> None:
+    from ir_base_spark.fixtures import make_queries, make_transcripts
+    from ir_base_spark.index.blocks import build_block_index
+    from ir_base_spark.index.dictionary import assign_doc_ids
+    from ir_base_spark.index.manifest import finalize_index, resumable_build
+    from ir_base_spark.query.wand import wand_topk
+    from ir_base_spark.query.dataframe_bm25 import analyze_query_terms
+    from ir_base_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{cores}", cores=cores, shuffle_partitions=cores
+    )
+    t = spark.read.parquet(input_path)
+    n_turns = t.count()
+
+    root = tempfile.mkdtemp(prefix=f"sg_scale_{cores}_")
+    os.rmdir(root)
+
+    t0 = time.time()
+    resumable_build(
+        spark, t, root, num_partitions=64, max_concurrent_jobs=64
+    )
+    build_sec = time.time() - t0
+
+    t0 = time.time()
+    idx = finalize_index(spark, root)
+    idx.weights.cache().count()
+    finalize_sec = time.time() - t0
+
+    t0 = time.time()
+    docs = assign_doc_ids(idx.doc_lens)
+    bidx = build_block_index(idx, docs)
+    bidx.blocks.cache().count()
+    bidx.docs.cache().count()
+    block_sec = time.time() - t0
+
+    qpdf = make_queries(
+        make_transcripts(n_conversations=200), n_queries=n_queries
+    )
+    qt = analyze_query_terms(spark, qpdf).cache()
+    qt.count()
+    t0 = time.time()
+    wand_topk(bidx, qt).write.format("noop").mode("overwrite").save()
+    wand_sec = time.time() - t0
+
+    pipeline_sec = build_sec + finalize_sec + block_sec
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "turns": n_turns,
+                "build_sec": round(build_sec, 3),
+                "finalize_sec": round(finalize_sec, 3),
+                "block_sec": round(block_sec, 3),
+                "pipeline_sec": round(pipeline_sec, 3),
+                "wand_sec": round(wand_sec, 3),
+                "turns_per_sec": round(n_turns / pipeline_sec, 1),
+            }
+        )
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=8000)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--n-queries", type=int, default=100)
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--child-cores", type=int)
+    ap.add_argument("--input")
+    args = ap.parse_args()
+
+    if args.child:
+        child(args.child_cores, args.input, args.n_queries)
+        return
+
+    input_path = _ensure_input(args.convs)
+    results = {}
+    for c in [int(x) for x in args.cores.split(",")]:
+        print(f"=== running child cores={c} ===", file=sys.stderr)
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__), "--child",
+                "--child-cores", str(c), "--input", input_path,
+                "--n-queries", str(args.n_queries),
+            ],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("CHILD_RESULT ")
+        ]
+        if not line:
+            print(proc.stdout[-3000:], file=sys.stderr)
+            print(proc.stderr[-3000:], file=sys.stderr)
+            raise RuntimeError(f"child cores={c} failed")
+        results[c] = json.loads(line[-1].removeprefix("CHILD_RESULT "))
+
+    cores = sorted(results)
+    lo, hi = cores[0], cores[-1]
+    ratio = hi / lo
+    eff_pipeline = (results[lo]["pipeline_sec"] / results[hi]["pipeline_sec"]) / ratio
+    eff_build = (results[lo]["build_sec"] / results[hi]["build_sec"]) / ratio
+    eff_wand = (results[lo]["wand_sec"] / results[hi]["wand_sec"]) / ratio
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    payload = {
+        "results": results,
+        "efficiency_pipeline": round(eff_pipeline, 3),
+        "efficiency_build": round(eff_build, 3),
+        "efficiency_wand_queries": round(eff_wand, 3),
+        "convs": args.convs,
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(payload, fh, indent=2)
+
+    md = [
+        "# BENCH/BASELINE.md — measured throughput & scaling",
+        "",
+        "Sandbox stand-in for the north rule's N → 4N executor criterion:",
+        "the identical index-build job (deterministic synthetic transcripts,",
+        f"{results[lo]['turns']} turns, FIXTURES.md schema) run at "
+        f"`local[{lo}]` and `local[{hi}]` in fresh JVMs on the same input.",
+        "",
+        "| phase | " + " | ".join(f"local[{c}] sec" for c in cores) + " | efficiency (N→4N) |",
+        "|---|" + "---|" * (len(cores) + 1),
+    ]
+    md.append(
+        "| tokenize+postings build | "
+        + " | ".join(str(results[c]["build_sec"]) for c in cores)
+        + f" | {eff_build:.3f} |"
+    )
+    md.append(
+        "| + dictionary/weights + blocks (full pipeline) | "
+        + " | ".join(str(results[c]["pipeline_sec"]) for c in cores)
+        + f" | {eff_pipeline:.3f} |"
+    )
+    md.append(
+        "| 100-query block-max WAND batch | "
+        + " | ".join(str(results[c]["wand_sec"]) for c in cores)
+        + f" | {eff_wand:.3f} |"
+    )
+    md += [
+        "",
+        "Throughput: "
+        + ", ".join(
+            f"local[{c}] = {results[c]['turns_per_sec']} turns/sec (full pipeline)"
+            for c in cores
+        ),
+        "",
+        f"Scaling efficiency (full index pipeline), {lo} -> {hi} cores: "
+        f"**{eff_pipeline:.3f}** (target >= 0.8; efficiency = "
+        f"(T_{lo} / T_{hi}) / {ratio:g}).",
+        "",
+        "Caveats: local mode shares one JVM/driver; shuffle is on local disk;",
+        "both runs pay identical fixed costs (session init is excluded by",
+        "timing inside the session). At cluster scale the same plan shapes",
+        "apply with network shuffle — partitioning strategy is documented in",
+        "SURVEY.md §7 and ir_base_spark/index/*.py docstrings.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write("\n".join(md) + "\n")
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
