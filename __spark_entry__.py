@@ -98,6 +98,45 @@ def q_bm25_topk_docs_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import lm_topk
+
+    return lm_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, mu=800.0, k=BM25_K)
+
+
+def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine setFeatureValues('TFIDF', 0) exposed per (doc, term)."""
+    from ir_base_spark.index.build import build_index
+
+    t = _docs_as_transcripts(_docs(spark, sf_dir))
+    idx = build_index(spark, t, analyzer="simple", scheme="TFIDF")
+    return (
+        idx.weights.join(F.broadcast(idx.terms.select("term", "term_id")), "term_id")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "term",
+            F.round(F.col("weight"), 9).alias("w"),
+        )
+    )
+
+
+def q_bm25_weights_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine setFeatureValues('BM25', 2) — the canonical reference
+    pipeline step (TransductiveMain.java:124) with L2 doc norm."""
+    from ir_base_spark.index.build import build_index
+
+    t = _docs_as_transcripts(_docs(spark, sf_dir))
+    idx = build_index(spark, t, analyzer="simple", scheme="BM25", norm=2)
+    return (
+        idx.weights.join(F.broadcast(idx.terms.select("term", "term_id")), "term_id")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "term",
+            F.round(F.col("weight"), 9).alias("w"),
+        )
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ir_base_spark.ops.textops import token_counts
 
@@ -260,6 +299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_docs": q_bm25_topk_docs,
         "bm25_topk_docs_wand": q_bm25_topk_docs_wand,
+        "lm_topk_docs": q_lm_topk_docs,
+        "tfidf_weights": q_tfidf_weights,
+        "bm25_weights_l2": q_bm25_weights_l2,
         "token_counts": q_token_counts,
         "term_stats": q_term_stats,
         "term_percentile_slice": q_term_percentile_slice,
@@ -360,6 +402,54 @@ SELECT doc_id, round(score, 6) AS score6
 FROM sc
 ORDER BY score DESC, doc_id ASC
 LIMIT {WAND_K}
+""",
+        "lm_topk_docs": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+tot AS (SELECT sum(tf) AS T FROM tf),
+p AS (SELECT term, sum(tf) / (SELECT T FROM tot) AS p FROM tf GROUP BY term),
+q(term) AS (VALUES ('spark'), ('join'), ('window')),
+qp AS (SELECT p.term, p.p FROM p JOIN q USING (term)),
+pairs AS (SELECT dl.doc_id, dl.dl, qp.term, qp.p FROM dl CROSS JOIN qp),
+m AS (
+  SELECT pairs.doc_id, pairs.dl, pairs.p, coalesce(tf.tf, 0.0) AS tf
+  FROM pairs LEFT JOIN tf ON tf.doc_id = pairs.doc_id AND tf.term = pairs.term
+),
+sc AS (
+  SELECT doc_id, round(sum(ln((tf + 800.0 * p) / (dl + 800.0))), 6) AS score6
+  FROM m GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score6
+FROM sc
+QUALIFY rank <= {BM25_K}
+""",
+        "tfidf_weights": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term,
+       round((tf.tf / dl.dl) * ln((st.n + 1.0) / dfx.df), 9) AS w
+FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+""",
+        "bm25_weights_l2": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS navg FROM dl),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+wgt AS (
+  SELECT tf.doc_id, tf.term,
+         ln((st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.5
+         / (1.5 * (0.25 + 0.75 * dl.dl / st.navg) + tf.tf) AS w
+  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+)
+SELECT doc_id, term,
+       round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 9) AS w
+FROM wgt
 """,
         "token_counts": f"""
 WITH {_TOK_CTE}

@@ -95,10 +95,10 @@ def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     out["index_finalize"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    docs = assign_doc_ids(idx.doc_lens)
+    docs = assign_doc_ids(idx.doc_lens).cache()
+    docs.count()
     bidx = build_block_index(idx, docs)
     bidx.blocks.cache().count()
-    bidx.docs.cache().count()
     out["block_build"] = round(time.time() - t0, 3)
 
     qpdf = make_queries(

@@ -56,11 +56,12 @@ def cosine_topk(
             6,
         ).alias("sim6"),
     )
+    # distributed bounded-heap top-k (TakeOrderedAndProject), then rank
+    # the k survivors
+    top = sim.orderBy(F.col("sim6").desc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("sim6").desc(), F.col("vec_id").asc())
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "sim6")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "sim6"
     )
 
 

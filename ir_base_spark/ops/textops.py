@@ -110,11 +110,58 @@ def bm25_topk(
     scores = bm25_scores(documents, query_terms).withColumn(
         "score6", F.round(F.col("score"), 6)
     )
+    # global top-k via orderBy().limit(): Spark's TakeOrderedAndProject is
+    # a distributed bounded heap (per-partition heap + driver merge — the
+    # MyPriorityQueue analog); the rank window then runs on only k rows.
+    top = scores.orderBy(F.col("score6").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", "score6")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score6"
+    )
+
+
+def lm_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    mu: float = 800.0,
+    k: int = 20,
+) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet smoothing.
+
+    score(q,d) = Σ_t qtf·ln((tf_td + μ·p(t)) / (dl_d + μ)), p(t) =
+    TTF(t)/ΣTTF — the reference's rankChild4StnByLikelihood with the
+    corpus reference model (/root/reference/src/topicmodels/
+    languageModelBaseLine.java:41-66,204-238; μ default 800). ALL docs
+    are scored (smoothing gives absent terms mass), so the plan is
+    doc-lengths × query-terms (broadcast) left-joined with matched TFs.
+    """
+    tf = token_counts(documents).withColumn("tf", F.col("tf").cast("double"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total = tf.agg(F.sum("tf").alias("T"))
+    p = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("ttf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("ttf") / F.col("T")).alias("p"))
+    )
+    q = tf.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    )
+    qp = p.join(F.broadcast(q), "term", "inner")  # OOV terms drop (p=0)
+    pairs = dl.crossJoin(F.broadcast(qp))
+    matched = pairs.join(tf, ["doc_id", "term"], "left").withColumn(
+        "tf", F.coalesce(F.col("tf"), F.lit(0.0))
+    )
+    contrib = F.log(
+        (F.col("tf") + F.lit(mu) * F.col("p")) / (F.col("dl") + F.lit(mu))
+    )
+    scores = matched.groupBy("doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("score6")
+    )
+    top = scores.orderBy(F.col("score6").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score6"
     )
 
 

@@ -66,7 +66,8 @@ def main() -> None:
         spark, args.index_root, norm=args.norm,
         min_df=args.min_df, max_df=args.max_df,
     )
-    docs = assign_doc_ids(idx.doc_lens)
+    docs = assign_doc_ids(idx.doc_lens).cache()
+    docs.count()
     bidx = build_block_index(
         idx, docs, block_size=args.block_size, bucket_bits=args.bucket_bits
     )

@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the optimizations we rely on are actually
+in the plan (broadcast joins, parquet filter pushdown, bounded top-k,
+no row-at-a-time Python)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushes_filter(spark, sf_dir):
+    from ir_base_spark.ops.relational import pricing_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(pricing_summary(li))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from ir_base_spark.ops.relational import revenue_by_nation
+
+    df = revenue_by_nation(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_topk_is_bounded_heap(spark, sf_dir):
+    from ir_base_spark.ops.textops import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["spark"], k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_row_at_a_time_python(spark, sf_dir):
+    """Every hot-path plan must use Arrow (MapInPandas / FlatMapGroupsIn
+    Pandas), never BatchEvalPython (pickled row-at-a-time UDF)."""
+    from ir_base_spark.index.build import build_index
+    from ir_base_spark.ops.textops import bm25_topk, simhash64, token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plans = [
+        _plan(token_counts(docs)),
+        _plan(simhash64(docs)),
+        _plan(bm25_topk(docs, ["spark"], k=5)),
+    ]
+    t = docs.selectExpr(
+        "cast(doc_id as string) conv_id", "cast(0 as int) turn_idx", "text"
+    )
+    idx = build_index(spark, t, analyzer="simple", cache=False)
+    plans.append(_plan(idx.weights))
+    for plan in plans:
+        assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plans[-1]  # tokenizer is Arrow-batched
+
+
+def test_dictionary_join_is_broadcast(spark, sf_dir):
+    from ir_base_spark.index.build import build_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.selectExpr(
+        "cast(doc_id as string) conv_id", "cast(0 as int) turn_idx", "text"
+    )
+    idx = build_index(spark, t, analyzer="simple", cache=False)
+    assert "BroadcastHashJoin" in _plan(idx.weights)

@@ -38,7 +38,7 @@ def _ensure_input(n_conversations: int, seed: int = 42) -> str:
     return cache
 
 
-def child(cores: int, input_path: str, n_queries: int) -> None:
+def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> None:
     from ir_base_spark.fixtures import make_queries, make_transcripts
     from ir_base_spark.index.blocks import build_block_index
     from ir_base_spark.index.dictionary import assign_doc_ids
@@ -58,7 +58,8 @@ def child(cores: int, input_path: str, n_queries: int) -> None:
 
     t0 = time.time()
     resumable_build(
-        spark, t, root, num_partitions=64, max_concurrent_jobs=64
+        spark, t, root, num_partitions=partitions,
+        max_concurrent_jobs=partitions,
     )
     build_sec = time.time() - t0
 
@@ -68,10 +69,10 @@ def child(cores: int, input_path: str, n_queries: int) -> None:
     finalize_sec = time.time() - t0
 
     t0 = time.time()
-    docs = assign_doc_ids(idx.doc_lens)
+    docs = assign_doc_ids(idx.doc_lens).cache()
+    docs.count()
     bidx = build_block_index(idx, docs)
     bidx.blocks.cache().count()
-    bidx.docs.cache().count()
     block_sec = time.time() - t0
 
     qpdf = make_queries(
@@ -107,7 +108,8 @@ def child(cores: int, input_path: str, n_queries: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--convs", type=int, default=8000)
+    ap.add_argument("--convs", type=int, default=24000)
+    ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--n-queries", type=int, default=100)
     ap.add_argument("--child", action="store_true")
@@ -116,7 +118,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.child:
-        child(args.child_cores, args.input, args.n_queries)
+        child(args.child_cores, args.input, args.n_queries, args.partitions)
         return
 
     input_path = _ensure_input(args.convs)
@@ -128,6 +130,7 @@ def main() -> None:
                 sys.executable, os.path.abspath(__file__), "--child",
                 "--child-cores", str(c), "--input", input_path,
                 "--n-queries", str(args.n_queries),
+                "--partitions", str(args.partitions),
             ],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
         )
