@@ -53,6 +53,9 @@ def assign_dense_ids(
     dictionaries and 10^12-row doc maps alike. ``order_cols`` must be a
     total order (unique key) for determinism.
     """
+    # the ranked frame is traversed twice (sizes collect + final select);
+    # cache the (small) input so upstream aggs don't recompute
+    df = df.cache()
     ordered = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
     # local 1-based rank within each range partition

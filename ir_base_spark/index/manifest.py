@@ -316,7 +316,9 @@ def finalize_index(
     from .dictionary import build_dictionary, corpus_stats
     from .weights import set_feature_values
 
-    raw = load_postings(spark, index_root).drop("partition_id")
+    # raw postings feed three consumers (dictionary agg, doc lengths,
+    # weighting join) — cache once instead of three parquet scans
+    raw = load_postings(spark, index_root).drop("partition_id").cache()
     terms = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
     doc_lens = raw.groupBy("conv_id", "turn_idx").agg(
         F.first("doc_len").alias("doc_len")

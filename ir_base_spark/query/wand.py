@@ -1,12 +1,13 @@
 """Block-max WAND top-k over the compressed block index.
 
-The scale query path (SURVEY §7.1 step 6): document-space-sharded WAND —
-each (query, doc-range bucket) group runs an independent bounded-heap
-WAND over that bucket's blocks, then a tiny global merge takes the final
-top-k per query. Candidate generation, pruning, and scoring never leave
-the executor; the only shuffles are the (query_id, bucket) grouping of
-matched blocks and the per-query merge of bucket-local top-k rows
-(<= k rows per bucket).
+The scale query path (SURVEY §7.1 step 6): document-space-sharded WAND.
+Matched blocks shuffle ONCE per doc-range bucket (deduplicated on the
+query set's distinct term_ids — block bytes are never duplicated per
+query); each bucket kernel then runs EVERY query over its blocks with a
+shared per-bucket block-decode cache and an independent bounded heap per
+query. A tiny global merge (<= k rows per query per bucket) takes the
+final top-k. Candidate generation, pruning, and scoring never leave the
+executor.
 
 Correctness contract (rank identity with oracle + M1 path):
 - full evaluation accumulates qw·w in ascending term_id order (canonical
@@ -46,12 +47,14 @@ class _ListIter:
 
     __slots__ = (
         "term_id", "qw", "firsts", "lasts", "maxws", "gaps", "wbytes",
-        "bi", "ids", "ws", "pos", "cur", "ub",
+        "bi", "ids", "ws", "pos", "cur", "ub", "cache",
     )
 
-    def __init__(self, term_id, qw, firsts, lasts, maxws, gaps, wbytes):
+    def __init__(self, term_id, qw, firsts, lasts, maxws, gaps, wbytes,
+                 cache=None):
         self.term_id = term_id
         self.qw = qw
+        self.cache = cache
         self.firsts = firsts
         self.lasts = lasts
         self.maxws = maxws
@@ -69,9 +72,19 @@ class _ListIter:
         if self.bi >= len(self.firsts):
             self.cur = _INF
             return
-        self.ids, self.ws = decode_postings_block(
-            self.firsts[self.bi], self.gaps[self.bi], self.wbytes[self.bi]
-        )
+        if self.cache is not None:
+            key = (self.term_id, self.bi)
+            hit = self.cache.get(key)
+            if hit is None:
+                hit = decode_postings_block(
+                    self.firsts[self.bi], self.gaps[self.bi], self.wbytes[self.bi]
+                )
+                self.cache[key] = hit
+            self.ids, self.ws = hit
+        else:
+            self.ids, self.ws = decode_postings_block(
+                self.firsts[self.bi], self.gaps[self.bi], self.wbytes[self.bi]
+            )
         self.pos = 0
         self.cur = int(self.ids[0])
 
@@ -204,46 +217,74 @@ def _wand_bucket(lists: list[_ListIter], k: int) -> list[tuple[int, float]]:
     return out
 
 
-def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel for one (query_id, bucket) group."""
-    query_id = pdf["query_id"].iloc[0]
-    k = int(pdf["k"].iloc[0])
-    lists = []
-    for term_id, g in pdf.groupby("term_id", sort=True):
-        g = g.sort_values("block_seq")
-        lists.append(
-            _ListIter(
-                int(term_id),
-                float(g["qw"].iloc[0]),
+def _make_bucket_kernel(queries: list[tuple[str, int, list[tuple[int, float]]]]):
+    """Kernel factory: one applyInPandas group per BUCKET; every query
+    runs over the bucket's blocks with a shared decode cache."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrays: dict[int, tuple] = {}
+        for term_id, g in pdf.groupby("term_id", sort=True):
+            g = g.sort_values("block_seq")
+            arrays[int(term_id)] = (
                 g["first_doc"].to_numpy(dtype=np.int64),
                 g["last_doc"].to_numpy(dtype=np.int64),
                 g["max_weight"].to_numpy(dtype=np.float64),
                 g["doc_gaps"].tolist(),
                 g["weights"].tolist(),
             )
-        )
-    top = _wand_bucket(lists, k)
-    return pd.DataFrame(
-        {
-            "query_id": [query_id] * len(top),
-            "doc_id": [d for d, _ in top],
-            "score": [s for _, s in top],
-            "k": [k] * len(top),
-        }
-    )
+        cache: dict = {}
+        out = {"query_id": [], "doc_id": [], "score": [], "k": []}
+        for query_id, k, terms in queries:
+            lists = [
+                _ListIter(tid, qw, *arrays[tid], cache=cache)
+                for tid, qw in terms
+                if tid in arrays
+            ]
+            if not lists:
+                continue
+            for doc_id, score in _wand_bucket(lists, k):
+                out["query_id"].append(query_id)
+                out["doc_id"].append(doc_id)
+                out["score"].append(score)
+                out["k"].append(k)
+        return pd.DataFrame(out)
+
+    return kernel
 
 
 def wand_topk(index: BlockIndex, query_terms: DataFrame) -> DataFrame:
     """query_terms(query_id, term, qw, k) → (query_id, rank, conv_id,
-    turn_idx, score): the block-max WAND retrieval plan."""
-    qt = query_terms.join(
-        F.broadcast(index.terms.select("term", "term_id")), "term", "inner"
-    ).select("query_id", "term_id", "qw", "k")
+    turn_idx, score): the block-max WAND retrieval plan.
 
-    matched = index.blocks.join(F.broadcast(qt), "term_id")
+    The query set is small by contract (it rides to every kernel in the
+    UDF closure); block bytes shuffle once per bucket, deduplicated on
+    the distinct query term_ids.
+    """
+    qt_pd = (
+        query_terms.join(
+            F.broadcast(index.terms.select("term", "term_id")), "term", "inner"
+        )
+        .select("query_id", "term_id", "qw", "k")
+        .toPandas()
+    )
+    if len(qt_pd) == 0:
+        spark = index.blocks.sparkSession
+        return spark.createDataFrame(
+            [],
+            "query_id string, rank int, conv_id string, turn_idx int, score double",
+        )
+    queries = [
+        (qid, int(g["k"].iloc[0]), sorted(zip(g["term_id"].astype(int), g["qw"])))
+        for qid, g in qt_pd.groupby("query_id", sort=True)
+    ]
+    term_ids = index.blocks.sparkSession.createDataFrame(
+        [(int(t),) for t in sorted(set(qt_pd["term_id"]))], "term_id long"
+    )
+    matched = index.blocks.join(F.broadcast(term_ids), "term_id", "left_semi")
 
-    local = matched.groupBy("query_id", "bucket").applyInPandas(
-        _kernel, schema="query_id string, doc_id long, score double, k int"
+    local = matched.groupBy("bucket").applyInPandas(
+        _make_bucket_kernel(queries),
+        schema="query_id string, doc_id long, score double, k int",
     )
 
     w = Window.partitionBy("query_id").orderBy(

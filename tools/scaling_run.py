@@ -71,7 +71,7 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
     t0 = time.time()
     docs = assign_doc_ids(idx.doc_lens).cache()
     docs.count()
-    bidx = build_block_index(idx, docs)
+    bidx = build_block_index(idx, docs, bucket_bits=13)
     bidx.blocks.cache().count()
     block_sec = time.time() - t0
 
