@@ -137,6 +137,26 @@ def q_bm25_weights_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-corpus adapter: embeddings.vec_id aligns with
+    documents.doc_id in the driver testdata."""
+    return _tbl(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+
+
+def q_feature_chi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.feature_selection import chi_square_terms
+
+    return chi_square_terms(_docs(spark, sf_dir), _labels(spark, sf_dir))
+
+
+def q_feature_ig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.feature_selection import info_gain_terms
+
+    return info_gain_terms(_docs(spark, sf_dir), _labels(spark, sf_dir))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ir_base_spark.ops.textops import token_counts
 
@@ -302,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_topk_docs": q_lm_topk_docs,
         "tfidf_weights": q_tfidf_weights,
         "bm25_weights_l2": q_bm25_weights_l2,
+        "feature_chi": q_feature_chi,
+        "feature_ig": q_feature_ig,
         "token_counts": q_token_counts,
         "term_stats": q_term_stats,
         "term_percentile_slice": q_term_percentile_slice,
@@ -450,6 +472,66 @@ wgt AS (
 SELECT doc_id, term,
        round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 9) AS w
 FROM wgt
+""",
+        "feature_chi": f"""
+WITH {_TOK_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM tok2),
+lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+nn AS (SELECT count(*) AS n FROM lab),
+cls AS (SELECT label, count(*) AS n_c FROM lab GROUP BY label),
+tc AS (SELECT term, label, count(*) AS df_tc
+       FROM dt JOIN lab USING (doc_id) GROUP BY 1, 2),
+tdf AS (SELECT term, CAST(sum(df_tc) AS BIGINT) AS df FROM tc GROUP BY 1),
+grid AS (
+  SELECT t.term, c.label, CAST(coalesce(tc.df_tc, 0) AS DOUBLE) AS a,
+         t.df, c.n_c, (SELECT n FROM nn) AS n
+  FROM tdf t CROSS JOIN cls c
+  LEFT JOIN tc ON tc.term = t.term AND tc.label = c.label
+),
+gf AS (SELECT * FROM grid WHERE df > 1 AND df < n * 0.8)
+SELECT term,
+       floor(sum(n * (a * (n - df - n_c + a) - (df - a) * (n_c - a))
+                   * (a * (n - df - n_c + a) - (df - a) * (n_c - a))
+                 / n_c / ((df - a) + (n - df - n_c + a)) / df
+                 / ((n_c - a) + (n - df - n_c + a))
+                 * n_c / n) * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM gf GROUP BY term
+""",
+        "feature_ig": f"""
+WITH {_TOK_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM tok2),
+lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+nn AS (SELECT count(*) AS n FROM lab),
+cls AS (SELECT label, count(*) AS n_c FROM lab GROUP BY label),
+tc AS (SELECT term, label, count(*) AS df_tc
+       FROM dt JOIN lab USING (doc_id) GROUP BY 1, 2),
+tdf AS (SELECT term, CAST(sum(df_tc) AS BIGINT) AS df FROM tc GROUP BY 1),
+grid AS (
+  SELECT t.term, c.label, coalesce(tc.df_tc, 0) AS df_tc,
+         t.df, c.n_c, (SELECT n FROM nn) AS n
+  FROM tdf t CROSS JOIN cls c
+  LEFT JOIN tc ON tc.term = t.term AND tc.label = c.label
+),
+gf AS (SELECT * FROM grid WHERE df > 1 AND df < n * 0.8),
+terms_agg AS (
+  SELECT term,
+         max(df) / CAST(max(n) AS DOUBLE) AS pt,
+         sum(CASE WHEN n_c / n > 0
+                  THEN -(n_c / n) * ln(n_c / n) ELSE 0.0 END) AS e,
+         sum(CASE WHEN ((df_tc / n_c) * (n_c / n) / (df / n)) <> 0
+                  THEN ((df_tc / n_c) * (n_c / n) / (df / n))
+                       * ln((df_tc / n_c) * (n_c / n) / (df / n))
+                  ELSE 0.0 END) AS cs,
+         sum(CASE WHEN (((n_c - df_tc) / n_c) * (n_c / n) / (1.0 - df / n)) <> 0
+                  THEN (((n_c - df_tc) / n_c) * (n_c / n) / (1.0 - df / n))
+                       * ln(((n_c - df_tc) / n_c) * (n_c / n) / (1.0 - df / n))
+                  ELSE 0.0 END) AS cns
+  FROM gf GROUP BY term
+)
+SELECT term,
+       floor((e + pt * cs + (1.0 - pt) * cns) * 1000000.0 + 0.5) / 1000000.0
+           AS score
+FROM terms_agg
 """,
         "token_counts": f"""
 WITH {_TOK_CTE}
