@@ -97,7 +97,7 @@ def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     t0 = time.time()
     docs = assign_doc_ids(idx.doc_lens).cache()
     docs.count()
-    bidx = build_block_index(idx, docs, bucket_bits=13)
+    bidx = build_block_index(idx, docs)
     bidx.blocks.cache().count()
     out["block_build"] = round(time.time() - t0, 3)
 

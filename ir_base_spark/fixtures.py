@@ -113,6 +113,87 @@ def make_transcripts(
     ).astype({"turn_idx": "int32"})
 
 
+def make_transcripts_spark(
+    spark,
+    n_conversations: int,
+    seed: int = 42,
+    n_lemmas: int = 5000,
+    partitions: int = 64,
+):
+    """Distributed synthetic transcripts generator (bench scale).
+
+    Content is deterministic per (seed, conv_id) — each conversation gets
+    its own numpy Generator — so output is independent of partitioning.
+    Used for large scaling-run corpora where the driver-side pandas
+    generator would be the bottleneck; pytest correctness fixtures keep
+    using ``make_transcripts`` (identical schema and token mix).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # vocab must match the driver-side generator's construction
+    vocab_rng = np.random.default_rng(seed)
+    vocab = np.array(_make_vocab(vocab_rng, n_lemmas))
+    probs = _zipf_probs(len(vocab))
+    stop = np.array([w for w in RAW_STOPWORDS if "'" not in w])
+    base_ts = np.datetime64("2025-01-01T00:00:00")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for c in pdf["id"].tolist():
+                rng = np.random.default_rng((seed << 20) ^ c)
+                conv_id = f"conv-{c:08d}"
+                n_turns = min(3 + int(rng.geometric(0.08)), 40)
+                ts = base_ts + np.timedelta64(int(rng.integers(0, 10_000_000)), "s")
+                for t in range(n_turns):
+                    role = ROLES[int(rng.integers(len(ROLES)))]
+                    tool = (
+                        TOOLS[int(rng.integers(len(TOOLS) - 1))]
+                        if role == "tool"
+                        else ""
+                    )
+                    if rng.random() < 0.01:
+                        text = "   " if rng.random() < 0.5 else ""
+                    else:
+                        n_tok = int(np.clip(rng.lognormal(2.7, 0.9), 5, 300))
+                        words = rng.choice(vocab, size=n_tok, p=probs).astype(object)
+                        for i in range(n_tok):
+                            r = rng.random()
+                            if r < 0.30:
+                                words[i] = stop[int(rng.integers(len(stop)))]
+                            elif r < 0.34:
+                                words[i] = str(int(rng.integers(0, 99999)))
+                            elif r < 0.38:
+                                words[i] = words[i] + _SUFFIXES[
+                                    int(rng.integers(len(_SUFFIXES)))
+                                ]
+                            elif r < 0.41:
+                                words[i] = words[i].capitalize() + ","
+                            elif r < 0.425:
+                                words[i] = words[i][0]
+                            elif r < 0.435:
+                                words[i] = words[i] * 8
+                        text = " ".join(words.tolist())
+                    ts = ts + np.timedelta64(int(rng.integers(1, 600)), "s")
+                    rows.append((conv_id, t, role, text, tool, pd.Timestamp(ts)))
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            ).astype({"turn_idx": "int32"})
+
+    ids = spark.range(0, n_conversations, 1, partitions).withColumnRenamed(
+        "id", "id"
+    )
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        ),
+    )
+
+
 def make_queries(
     transcripts: pd.DataFrame,
     n_queries: int = 100,

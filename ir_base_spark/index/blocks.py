@@ -36,6 +36,22 @@ from pyspark.sql import functions as F
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_BUCKET_BITS = 16  # 65536 docs per bucket
 
+
+def choose_bucket_bits(n_docs: int, target_shards: int = 64) -> int:
+    """Corpus-adaptive doc-range shard width.
+
+    A doc-range shard behaves like a Lucene-style document shard: every
+    term's postings restricted to that doc range. Too many shards
+    explodes (term, shard) group count — every tail term pays one
+    (undersized) block per shard it touches — so shard count should stay
+    moderate (~target_shards) regardless of corpus size, while each
+    shard still holds enough docs that head-term blocks fill up.
+    """
+    import math
+
+    bits = max(10, math.ceil(math.log2(max(1, n_docs) / target_shards)))
+    return bits
+
 BLOCK_SCHEMA = (
     "term_id long, bucket int, block_seq int, n int, first_doc long, "
     "last_doc long, max_weight double, doc_gaps binary, weights binary"
@@ -267,14 +283,17 @@ def build_block_index(
     index,
     docs_with_ids: DataFrame,
     block_size: int = DEFAULT_BLOCK_SIZE,
-    bucket_bits: int = DEFAULT_BUCKET_BITS,
+    bucket_bits: int | None = None,
 ) -> BlockIndex:
     """InvertedIndex (M1) + doc-id map → compressed block index.
 
     One shuffle: repartition/groupBy on (term_id, bucket). The doc-range
     bucket salt bounds any single group to <= 2^bucket_bits postings,
-    independent of term hotness.
+    independent of term hotness. ``bucket_bits=None`` picks a corpus-
+    adaptive width (choose_bucket_bits).
     """
+    if bucket_bits is None:
+        bucket_bits = choose_bucket_bits(index.n_docs)
     w = (
         index.weights.join(
             docs_with_ids.select("conv_id", "turn_idx", "doc_id"),

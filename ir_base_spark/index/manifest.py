@@ -23,9 +23,11 @@ restart and independent of input row order; a conversation never splits
 across partitions. At Iceberg scale, stage 0 is replaced by the table's
 own partitioning/manifest metadata (enumerate data files per partition
 range instead of rewriting); the per-partition commit protocol is
-unchanged. The driver loop issues one Spark job per missing partition —
-each job's input is only that partition's files, so restart cost is
-proportional to MISSING work, not total work.
+unchanged. Missing partitions process in WAVES — one Spark job per wave
+over exactly the missing partitions' files — so restart cost is
+proportional to MISSING work, all cores stay busy regardless of
+partition count, and commit granularity stays bounded (a killed wave
+promotes nothing; completed waves stay done).
 """
 
 from __future__ import annotations
@@ -164,92 +166,141 @@ def _split_input(
     return snap
 
 
-def _build_one_partition(
+def _empty_partition_manifest(snap: str, pid: int) -> PartitionManifest:
+    return PartitionManifest(
+        partition_id=pid, snapshot_id=snap, conv_id_min="", conv_id_max="",
+        turns=0, postings_written=0, bytes_compressed=0, wall_sec=0.0,
+        terms_per_sec=0.0, turns_per_sec=0.0, status="done",
+    )
+
+
+def _build_wave(
     spark: SparkSession,
     index_root: str,
     snap: str,
-    pid: int,
+    wave: list[int],
+    num_partitions: int,
     ngrams: int,
     analyzer: str,
     min_distinct_terms: int,
-) -> PartitionManifest:
+) -> list[PartitionManifest]:
+    """Tokenize + commit one wave of partitions with ONE Spark job pair.
+
+    A single job writes every wave partition's postings (partitionBy on
+    the re-derived conv-hash — no shuffle: each input task holds exactly
+    one partition), one agg job computes per-partition metrics, then the
+    driver promotes each partition directory atomically and writes its
+    manifest row. Commit granularity = the wave; within a killed wave
+    nothing is promoted, completed waves stay done. This replaces the
+    old one-Spark-job-per-partition driver loop, whose per-job driver
+    orchestration (GIL + py4j from dozens of threads) throttled large
+    core counts.
+    """
+    parts_root = os.path.join(index_root, "input_parts")
     post_root = os.path.join(index_root, "postings")
-    part_path = os.path.join(index_root, "input_parts", f"partition_id={pid}")
-    final_dir = os.path.join(post_root, f"partition_id={pid}")
-    if not os.path.isdir(part_path):
-        # hash bucket got no conversations (tiny inputs)
+    existing = [
+        pid for pid in wave
+        if os.path.isdir(os.path.join(parts_root, f"partition_id={pid}"))
+    ]
+    out: list[PartitionManifest] = []
+    empty = [pid for pid in wave if pid not in set(existing)]
+    for pid in empty:  # hash buckets with no conversations (tiny inputs)
+        m = _empty_partition_manifest(snap, pid)
+        _atomic_write_json(
+            os.path.join(_manifest_dir(index_root), f"p{pid}.json"), asdict(m)
+        )
+        out.append(m)
+    if not existing:
+        return out
+
+    t0 = time.time()
+    paths = [os.path.join(parts_root, f"partition_id={pid}") for pid in existing]
+    part_df = spark.read.option("basePath", parts_root).parquet(*paths)
+    postings = tokenize_turns(
+        part_df.drop("partition_id"),
+        ngrams=ngrams,
+        min_distinct_terms=min_distinct_terms,
+        analyzer=analyzer,
+    ).withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64(F.col("conv_id")), F.lit(num_partitions)).cast("int"),
+    )
+    tmp_dir = os.path.join(post_root, "._tmp_wave")
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    postings.write.partitionBy("partition_id").mode("overwrite").parquet(tmp_dir)
+
+    stats = {
+        int(r["partition_id"]): r
+        for r in spark.read.parquet(tmp_dir)
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("postings"),
+            F.min("conv_id").alias("cmin"),
+            F.max("conv_id").alias("cmax"),
+            F.countDistinct("conv_id", "turn_idx").alias("turns"),
+            F.sum("tf").alias("terms"),
+        )
+        .collect()
+    }
+    wall = time.time() - t0
+    for pid in existing:
+        src = os.path.join(tmp_dir, f"partition_id={pid}")
+        dst = os.path.join(post_root, f"partition_id={pid}")
+        if pid not in stats:
+            m = _empty_partition_manifest(snap, pid)
+            _atomic_write_json(
+                os.path.join(_manifest_dir(index_root), f"p{pid}.json"), asdict(m)
+            )
+            out.append(m)
+            continue
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.replace(src, dst)
+        agg = stats[pid]
+        nbytes = _dir_bytes(dst)
+        share = wall / max(1, len(existing))
         m = PartitionManifest(
-            partition_id=pid, snapshot_id=snap, conv_id_min="", conv_id_max="",
-            turns=0, postings_written=0, bytes_compressed=0, wall_sec=0.0,
-            terms_per_sec=0.0, turns_per_sec=0.0, status="done",
+            partition_id=pid,
+            snapshot_id=snap,
+            conv_id_min=str(agg["cmin"] or ""),
+            conv_id_max=str(agg["cmax"] or ""),
+            turns=int(agg["turns"] or 0),
+            postings_written=int(agg["postings"] or 0),
+            bytes_compressed=nbytes,
+            wall_sec=share,
+            terms_per_sec=float(agg["terms"] or 0.0) / share if share > 0 else 0.0,
+            turns_per_sec=int(agg["turns"] or 0) / share if share > 0 else 0.0,
+            status="done",
         )
         _atomic_write_json(
             os.path.join(_manifest_dir(index_root), f"p{pid}.json"), asdict(m)
         )
-        return m
-    p0 = time.time()
-    part_df = spark.read.parquet(part_path)
-    postings = tokenize_turns(
-        part_df,
-        ngrams=ngrams,
-        min_distinct_terms=min_distinct_terms,
-        analyzer=analyzer,
-    )
-    tmp_dir = os.path.join(post_root, f"._tmp_p{pid}")
-    if os.path.isdir(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    postings.write.mode("overwrite").parquet(tmp_dir)
-    # metrics from the written output (no extra pass over the input)
-    out = spark.read.parquet(tmp_dir)
-    agg = out.agg(
-        F.count(F.lit(1)).alias("postings"),
-        F.min("conv_id").alias("cmin"),
-        F.max("conv_id").alias("cmax"),
-        F.countDistinct("conv_id", "turn_idx").alias("turns"),
-        F.sum("tf").alias("terms"),
-    ).collect()[0]
-    if os.path.isdir(final_dir):
-        shutil.rmtree(final_dir)
-    os.replace(tmp_dir, final_dir)
-    wall = time.time() - p0
-    nbytes = _dir_bytes(final_dir)
-    m = PartitionManifest(
-        partition_id=pid,
-        snapshot_id=snap,
-        conv_id_min=str(agg["cmin"] or ""),
-        conv_id_max=str(agg["cmax"] or ""),
-        turns=int(agg["turns"] or 0),
-        postings_written=int(agg["postings"] or 0),
-        bytes_compressed=nbytes,
-        wall_sec=wall,
-        terms_per_sec=float(agg["terms"] or 0.0) / wall if wall > 0 else 0.0,
-        turns_per_sec=int(agg["turns"] or 0) / wall if wall > 0 else 0.0,
-        status="done",
-    )
-    _atomic_write_json(
-        os.path.join(_manifest_dir(index_root), f"p{pid}.json"), asdict(m)
-    )
-    return m
+        out.append(m)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out
 
 
 def resumable_build(
     spark: SparkSession,
     transcripts: DataFrame,
     index_root: str,
-    num_partitions: int = 32,
+    num_partitions: int = 64,
     ngrams: int = 1,
     analyzer: str = "reference",
     min_distinct_terms: int = 0,
-    max_concurrent_jobs: int = 8,
+    wave_size: int | None = None,
+    max_concurrent_jobs: int | None = None,  # kept for API compat; unused
 ) -> BuildReport:
     """Build (or resume) the tokenize/postings phase under ``index_root``.
 
     Idempotent: rerunning after a kill skips every partition with a
     'done' manifest row; their outputs are untouched (asserted
-    byte-identical in tests/test_resume.py). Missing partitions run as
-    independent concurrent Spark jobs (the commit unit stays one
-    partition — same protocol a multi-executor cluster runs, where many
-    partition jobs are in flight at once).
+    byte-identical in tests/test_resume.py). Missing partitions process
+    in waves (default: 4 waves) — each wave is one Spark job over many
+    input splits, so all cores stay busy regardless of partition count,
+    and the per-partition commit protocol runs driver-side only at wave
+    boundaries.
     """
     os.makedirs(index_root, exist_ok=True)
     os.makedirs(_manifest_dir(index_root), exist_ok=True)
@@ -267,17 +318,15 @@ def resumable_build(
     os.makedirs(os.path.join(index_root, "postings"), exist_ok=True)
     todo = [pid for pid in range(num_partitions) if pid not in done]
     skipped = num_partitions - len(todo)
+    if wave_size is None:
+        wave_size = max(1, (num_partitions + 3) // 4)
+
     built = turns_total = postings_total = 0
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=max(1, max_concurrent_jobs)) as pool:
-        for m in pool.map(
-            lambda pid: _build_one_partition(
-                spark, index_root, snap, pid, ngrams, analyzer,
-                min_distinct_terms,
-            ),
-            todo,
+    for i in range(0, len(todo), wave_size):
+        wave = todo[i : i + wave_size]
+        for m in _build_wave(
+            spark, index_root, snap, wave, num_partitions,
+            ngrams, analyzer, min_distinct_terms,
         ):
             built += 1
             turns_total += m.turns
