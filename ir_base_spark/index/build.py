@@ -82,7 +82,8 @@ def build_index(
         raw_kept = kept.join(doc_lens, ["conv_id", "turn_idx"])
     else:
         doc_lens = (
-            raw.groupBy("conv_id", "turn_idx").agg(F.first("doc_len").alias("doc_len"))
+            raw.filter(F.col("is_doc_head") == 1)
+            .select("conv_id", "turn_idx", "doc_len")
         )
         raw_kept = raw
     if cache:

@@ -238,7 +238,7 @@ def _build_wave(
             F.count(F.lit(1)).alias("postings"),
             F.min("conv_id").alias("cmin"),
             F.max("conv_id").alias("cmax"),
-            F.countDistinct("conv_id", "turn_idx").alias("turns"),
+            F.sum("is_doc_head").alias("turns"),
             F.sum("tf").alias("terms"),
         )
         .collect()
@@ -371,9 +371,12 @@ def finalize_index(
     # materialization (measured: ~25% faster at 8 and 32 cores)
     raw = load_postings(spark, index_root).drop("partition_id")
     terms = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
-    doc_lens = raw.groupBy("conv_id", "turn_idx").agg(
-        F.first("doc_len").alias("doc_len")
-    ).cache()
+    # head rows make doc_lens a filter, not a 10^11-row groupBy
+    doc_lens = (
+        raw.filter(F.col("is_doc_head") == 1)
+        .select("conv_id", "turn_idx", "doc_len")
+        .cache()
+    )
     n_docs, avg_doc_len = corpus_stats(doc_lens)
     _atomic_write_json(
         os.path.join(index_root, "stats.json"),

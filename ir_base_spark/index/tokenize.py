@@ -21,7 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 POSTINGS_SCHEMA = (
-    "conv_id string, turn_idx int, term string, tf double, doc_len double"
+    "conv_id string, turn_idx int, term string, tf double, doc_len double, "
+    "is_doc_head int"
 )
 
 
@@ -52,6 +53,7 @@ def tokenize_turns(
             terms: list[str] = []
             tfs: list[float] = []
             dls: list[float] = []
+            heads: list[int] = []
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"].values, pdf["turn_idx"].values, pdf[text_col].values
             ):
@@ -63,12 +65,13 @@ def tokenize_turns(
                 if len(tc) <= min_distinct_terms:
                     continue
                 dl = float(sum(tc.values()))
-                for term, tf in tc.items():
+                for i, (term, tf) in enumerate(tc.items()):
                     conv_ids.append(conv_id)
                     turn_idxs.append(int(turn_idx))
                     terms.append(term)
                     tfs.append(float(tf))
                     dls.append(dl)
+                    heads.append(1 if i == 0 else 0)
             yield pd.DataFrame(
                 {
                     "conv_id": pd.Series(conv_ids, dtype="object"),
@@ -76,6 +79,9 @@ def tokenize_turns(
                     "term": pd.Series(terms, dtype="object"),
                     "tf": pd.Series(tfs, dtype="float64"),
                     "doc_len": pd.Series(dls, dtype="float64"),
+                    # exactly one head row per turn: lets every consumer
+                    # count/collect docs without a distinct or groupBy
+                    "is_doc_head": pd.Series(heads, dtype="int32"),
                 }
             )
 

@@ -60,7 +60,7 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
     n_turns = t.count()
 
     def one_pipeline():
-        root = tempfile.mkdtemp(prefix=f"sg_scale_{cores}_")
+        root = tempfile.mkdtemp(prefix=f"sg_scale_{cores}_", dir="/dev/shm")
         os.rmdir(root)
         # stage 0 split is one-time ingest prep (Iceberg metadata at real
         # scale) — run it untimed, then time the build phases
