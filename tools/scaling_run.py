@@ -168,23 +168,36 @@ def main() -> None:
     input_path = _ensure_input(args.convs)
     results = {}
     for c in [int(x) for x in args.cores.split(",")]:
-        print(f"=== running child cores={c} ===", file=sys.stderr)
-        proc = subprocess.run(
-            [
-                sys.executable, os.path.abspath(__file__), "--child",
-                "--child-cores", str(c), "--input", input_path,
-                "--n-queries", str(args.n_queries),
-                "--partitions", str(args.partitions),
-            ],
-            capture_output=True, text=True, cwd=REPO, timeout=3600,
-        )
-        line = [
-            ln for ln in proc.stdout.splitlines() if ln.startswith("CHILD_RESULT ")
-        ]
+        # py4j occasionally loses a response under heavy local-mode load
+        # (driver blocks on a socket read with an idle JVM) - bound each
+        # child and retry once
+        line = []
+        for attempt in (1, 2):
+            print(f"=== running child cores={c} (attempt {attempt}) ===",
+                  file=sys.stderr)
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable, os.path.abspath(__file__), "--child",
+                        "--child-cores", str(c), "--input", input_path,
+                        "--n-queries", str(args.n_queries),
+                        "--partitions", str(args.partitions),
+                    ],
+                    capture_output=True, text=True, cwd=REPO, timeout=2700,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"child cores={c} timed out; retrying", file=sys.stderr)
+                continue
+            line = [
+                ln for ln in proc.stdout.splitlines()
+                if ln.startswith("CHILD_RESULT ")
+            ]
+            if line:
+                break
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
         if not line:
-            print(proc.stdout[-3000:], file=sys.stderr)
-            print(proc.stderr[-3000:], file=sys.stderr)
-            raise RuntimeError(f"child cores={c} failed")
+            raise RuntimeError(f"child cores={c} failed twice")
         results[c] = json.loads(line[-1].removeprefix("CHILD_RESULT "))
 
     cores = sorted(results)
