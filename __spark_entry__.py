@@ -58,23 +58,23 @@ def _bm25_query_pdf(k: int) -> pd.DataFrame:
 def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path (mapInPandas tokenize → dictionary → BM25 weights
     → scoring join), simple analyzer so DuckDB can replicate exactly."""
+    from ir_base_spark.functions.ranking import rank_bounded
     from ir_base_spark.index.build import build_index
     from ir_base_spark.query.dataframe_bm25 import analyze_query_terms, score_all
-    from pyspark.sql import Window
 
     t = _docs_as_transcripts(_docs(spark, sf_dir))
     idx = build_index(spark, t, analyzer="simple")
     qt = analyze_query_terms(spark, _bm25_query_pdf(BM25_K), analyzer="simple")
     scores = score_all(idx, qt).withColumn("score6", F.round(F.col("score"), 6))
-    w = Window.orderBy(F.col("score6").desc(), F.col("conv_id").asc())
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_K)
-        .select(
-            "rank",
-            F.col("conv_id").cast("long").alias("doc_id"),
-            "score6",
-        )
+    # distributed bounded-heap top-k (TakeOrderedAndProject) first, then
+    # a window-free positional rank over the k survivors — never a
+    # global no-partition WindowExec over every scored doc
+    return rank_bounded(
+        scores, [F.col("score6").desc(), F.col("conv_id").asc()], BM25_K
+    ).select(
+        "rank",
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "score6",
     )
 
 
@@ -90,12 +90,17 @@ def q_bm25_topk_docs_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_index(spark, t, analyzer="simple")
     docs = assign_doc_ids(idx.doc_lens)
     bidx = build_block_index(idx, docs, block_size=64, bucket_bits=8)
-    qt = analyze_query_terms(spark, _bm25_query_pdf(WAND_K), analyzer="simple")
-    out = wand_topk(bidx, qt)
-    return out.select(
+    # over-fetch, then take the final k on the ROUNDED score: the engine
+    # and the oracle must agree on the k-boundary even when raw float
+    # summation order differs (rank-on-rounded convention)
+    qt = analyze_query_terms(
+        spark, _bm25_query_pdf(WAND_K + 10), analyzer="simple"
+    )
+    out = wand_topk(bidx, qt).select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.round(F.col("score"), 6).alias("score6"),
     )
+    return out.orderBy(F.col("score6").desc(), F.col("doc_id").asc()).limit(WAND_K)
 
 
 def q_lm_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +237,24 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ir_base_spark.ops.similarity import ann_lsh_topk
 
-    return ann_lsh_topk(_tbl(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    return ann_lsh_topk(
+        _tbl(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, dim=ANN_DIM
+    )
+
+
+ANN_BATCH_IDS = [0, 1, 2, 3, 4]
+ANN_DIM = 64  # testdata embeddings are 64-d; planes must match exactly
+
+
+def q_ann_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query ANN over the precomputed bucket table — the scale
+    shape (bucket table persisted bucketed-by-write, queries broadcast
+    with their Hamming-1 probe buckets)."""
+    from ir_base_spark.ops.similarity import ann_bucket_table, ann_lsh_topk_batch
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    bt = ann_bucket_table(emb, dim=ANN_DIM)
+    return ann_lsh_topk_batch(emb, ANN_BATCH_IDS, k=10, bucket_table=bt)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -378,6 +401,57 @@ sc AS (
 )
 """
 )
+
+
+def _ann_lsh_sql(query_ids: list[int], k: int, single: bool,
+                 n_planes: int = 8, dim: int = ANN_DIM) -> str:
+    """LSH-ANN oracle with the Spark plan's deterministic hyperplane
+    constants unrolled as left-associated sums (bit-identical projection
+    signs across engines — F.aggregate folds left-to-right too)."""
+    from ir_base_spark.ops.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes=n_planes, dim=dim)
+    bucket_terms = []
+    for i, pl in enumerate(planes):
+        proj = " + ".join(f"e[{j + 1}] * ({c!r})" for j, c in enumerate(pl))
+        bucket_terms.append(
+            f"(CASE WHEN ({proj}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket_expr = "\n       + ".join(bucket_terms)
+    qvals = ", ".join(f"({i})" for i in query_ids)
+    probe_list = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << i})" for i in range(n_planes)]
+    )
+    head = (
+        "SELECT rank, vec_id, sim6"
+        if single
+        else "SELECT query_id, rank, vec_id, sim6"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, {bucket_expr} AS bucket FROM emb),
+qids AS (SELECT CAST(query_id AS BIGINT) AS query_id
+         FROM (VALUES {qvals}) v(query_id)),
+qb AS (SELECT q.query_id, b.e AS qv, b.bucket AS qbucket
+       FROM b JOIN qids q ON b.vec_id = q.query_id),
+probes AS (SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM qb),
+cand AS (
+  SELECT p.query_id, b.vec_id, b.e, p.qv
+  FROM b JOIN probes p USING (bucket)
+  WHERE b.vec_id <> p.query_id
+),
+sim AS (SELECT query_id, vec_id,
+               round(list_cosine_similarity(e, qv), 6) AS sim6
+        FROM cand),
+ranked AS (
+  SELECT query_id, vec_id, sim6,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim6 DESC, vec_id ASC) AS INT)
+             AS rank
+  FROM sim
+)
+{head} FROM ranked WHERE rank <= {k}
+"""
 
 
 def _stopword_in_list() -> str:
@@ -422,7 +496,7 @@ QUALIFY rank <= {BM25_K}
 WITH {_BM25_CTE}
 SELECT doc_id, round(score, 6) AS score6
 FROM sc
-ORDER BY score DESC, doc_id ASC
+ORDER BY round(score, 6) DESC, doc_id ASC
 LIMIT {WAND_K}
 """,
         "lm_topk_docs": f"""
@@ -608,6 +682,8 @@ SELECT CAST(row_number() OVER (ORDER BY sim6 DESC, vec_id ASC) AS INT) AS rank,
 FROM sim
 QUALIFY rank <= 10
 """,
+        "ann_lsh_topk": _ann_lsh_sql([0], 10, single=True),
+        "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
@@ -686,7 +762,8 @@ FROM sess GROUP BY user_id, session_seq
 """,
         "ndcg_by_event_type": """
 WITH agg AS (
-  SELECT event_type, user_id, sum(value) AS total_value,
+  SELECT event_type, user_id,
+         floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS total_value,
          CAST(user_id % 4 AS DOUBLE) AS rel
   FROM events GROUP BY event_type, user_id
 ),

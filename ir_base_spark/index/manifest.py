@@ -91,16 +91,34 @@ def _atomic_write_json(path: str, payload: dict) -> None:
 
 
 def input_snapshot_id(transcripts: DataFrame) -> str:
-    """Deterministic lineage id: sha1 over the sorted input file list
-    (+sizes), the stand-in for an Iceberg snapshot id. In-memory inputs
-    hash their schema only."""
+    """Deterministic lineage id, the stand-in for an Iceberg snapshot id.
+
+    File-backed inputs: sha1 over the sorted file list + per-file size
+    AND mtime, so a same-size content rewrite changes the snapshot and
+    can never silently resume against stale partitions. In-memory inputs
+    (no file lineage): digest the CONTENT — row count + order-independent
+    xor + sum of per-row xxhash64 — schema alone is not identity.
+    """
     h = hashlib.sha1()
     files = sorted(transcripts.inputFiles())
-    for f in files:
-        h.update(f.encode())
-        local = f.removeprefix("file:")
-        if os.path.exists(local):
-            h.update(str(os.path.getsize(local)).encode())
+    if files:
+        for f in files:
+            h.update(f.encode())
+            local = f.removeprefix("file:")
+            if os.path.exists(local):
+                st = os.stat(local)
+                h.update(str(st.st_size).encode())
+                h.update(str(st.st_mtime_ns).encode())
+    else:
+        row_h = F.xxhash64(*[F.col(c) for c in transcripts.columns])
+        row = transcripts.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(transcripts.columns) + "))"
+            ).alias("hxor"),
+            F.sum(row_h.cast("decimal(38,0)")).alias("hsum"),
+        ).collect()[0]
+        h.update(f"{row['n']}|{row['hxor']}|{row['hsum']}".encode())
     h.update(transcripts.schema.json().encode())
     return h.hexdigest()[:16]
 
@@ -371,12 +389,26 @@ def finalize_index(
     # materialization (measured: ~25% faster at 8 and 32 cores)
     raw = load_postings(spark, index_root).drop("partition_id")
     terms = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
-    # head rows make doc_lens a filter, not a 10^11-row groupBy
-    doc_lens = (
-        raw.filter(F.col("is_doc_head") == 1)
-        .select("conv_id", "turn_idx", "doc_len")
-        .cache()
-    )
+    pruning = min_df > 1 or max_df is not None
+    if pruning:
+        # re-project doc vectors onto the pruned dictionary: doc_len,
+        # n_docs and avg_doc_len must reflect retained terms only —
+        # identical semantics to build_index's pruning branch (the
+        # reference's pass-2 with frozen CV, SURVEY §3.2)
+        kept = raw.drop("doc_len").join(
+            F.broadcast(terms.select("term")), "term", "left_semi"
+        )
+        doc_lens = kept.groupBy("conv_id", "turn_idx").agg(
+            F.sum("tf").alias("doc_len")
+        ).cache()
+        raw = kept.join(doc_lens, ["conv_id", "turn_idx"])
+    else:
+        # head rows make doc_lens a filter, not a 10^11-row groupBy
+        doc_lens = (
+            raw.filter(F.col("is_doc_head") == 1)
+            .select("conv_id", "turn_idx", "doc_len")
+            .cache()
+        )
     n_docs, avg_doc_len = corpus_stats(doc_lens)
     _atomic_write_json(
         os.path.join(index_root, "stats.json"),

@@ -18,7 +18,7 @@ textbook).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textops import simple_tokens
@@ -130,12 +130,18 @@ def percentile_slice(
     scores: DataFrame, start: float = 0.0, end: float = 1.0
 ) -> DataFrame:
     """Keep ranks [floor(start·n), floor(end·n)) of the score-ascending
-    ordering (getSelectedFeatures :47-61); ties broken by term asc."""
-    n = scores.count()
+    ordering (getSelectedFeatures :47-61); ties broken by term asc.
+
+    Uses the two-phase range-partitioned rank (index.dictionary.
+    assign_dense_ids) — no single-partition global window."""
+    from ..index.dictionary import assign_dense_ids
+
+    ranked = assign_dense_ids(
+        scores, [F.col("score").asc(), F.col("term").asc()], "rk"
+    )
+    n = scores.count()  # cached by assign_dense_ids
     lo, hi = int(n * start), int(n * end)
-    w = Window.orderBy(F.col("score").asc(), F.col("term").asc())
     return (
-        scores.withColumn("rk", F.row_number().over(w) - 1)
-        .filter((F.col("rk") >= lo) & (F.col("rk") < hi))
+        ranked.filter((F.col("rk") >= lo) & (F.col("rk") < hi))
         .drop("rk")
     )

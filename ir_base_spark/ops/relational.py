@@ -142,8 +142,11 @@ def ndcg_by_event_type(events: DataFrame, k: int = 10) -> DataFrame:
     — the reference evaluator
     (/root/reference/src/Ranker/evaluator/NDCG_Evaluator.java:22-84).
     """
+    # rank on the ROUNDED total so summation-order float noise between
+    # engines cannot flip near-equal users at the rank boundary (portable
+    # floor-rounding — see textops.quality_score)
     ranked_src = events.groupBy("event_type", "user_id").agg(
-        F.sum("value").alias("total_value")
+        (F.floor(F.sum("value") * 1000000.0 + 0.5) / 1000000.0).alias("total_value")
     ).withColumn("rel", (F.col("user_id") % 4).cast("double"))
     w_rank = Window.partitionBy("event_type").orderBy(
         F.col("total_value").desc(), F.col("user_id").asc()

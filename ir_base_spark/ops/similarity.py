@@ -56,13 +56,47 @@ def cosine_topk(
             6,
         ).alias("sim6"),
     )
-    # distributed bounded-heap top-k (TakeOrderedAndProject), then rank
-    # the k survivors
-    top = sim.orderBy(F.col("sim6").desc(), F.col("vec_id").asc()).limit(k)
-    w = Window.orderBy(F.col("sim6").desc(), F.col("vec_id").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "vec_id", "sim6"
-    )
+    from ..functions.ranking import rank_bounded
+
+    return rank_bounded(
+        sim, [F.col("sim6").desc(), F.col("vec_id").asc()], k
+    ).select("rank", "vec_id", "sim6")
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 32, seed: int = 7) -> list[list[float]]:
+    """Deterministic seeded gaussian hyperplanes — shared by the Spark
+    plan, the SQL oracle generator, and tests."""
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _bucket_expr(col, planes):
+    """Sign-of-projection LSH bucket id as a codegen'd column expression.
+
+    The projection folds left-to-right (F.aggregate is a sequential
+    fold), matching the SQL oracle's left-associated unrolled sum — the
+    sign comparison is therefore bit-identical across engines.
+
+    The vector is sliced to the plane dimension first: zip_with would
+    null-pad a longer embedding (null products → null sum → every bit 0
+    → one giant bucket, i.e. silent non-pruning).
+    """
+    bucket = None
+    dim = len(planes[0])
+    sliced = F.slice(col, 1, dim)
+    for i, pl in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                sliced,
+                F.array(*[F.lit(x) for x in pl]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
 
 
 def random_hyperplane_buckets(
@@ -73,24 +107,88 @@ def random_hyperplane_buckets(
     Hyperplanes are a deterministic seeded constant folded into the plan
     (broadcast literal); the projection is zip_with/aggregate codegen.
     """
-    rnd = random.Random(seed)
-    planes = [
-        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-    ]
-    bucket = None
-    for i, pl in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(x) for x in pl]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return embeddings.select("vec_id", bucket.alias("bucket"))
+    planes = hyperplanes(n_planes=n_planes, dim=dim, seed=seed)
+    return embeddings.select("vec_id", _bucket_expr(F.col("embedding"), planes).alias("bucket"))
+
+
+def ann_bucket_table(
+    embeddings: DataFrame, n_planes: int = 8, dim: int = 32, seed: int = 7
+) -> DataFrame:
+    """(vec_id, bucket, embedding): the precomputed ANN index table.
+
+    At scale this is computed ONCE per snapshot and persisted
+    ``.write.bucketBy(B, "bucket")`` (or Iceberg-partitioned by bucket),
+    so query time never rescans/rehashes the corpus — queries join their
+    (few) probe buckets against a bucket-pruned scan.
+    """
+    planes = hyperplanes(n_planes=n_planes, dim=dim, seed=seed)
+    return embeddings.select(
+        "vec_id",
+        _bucket_expr(F.col("embedding"), planes).alias("bucket"),
+        "embedding",
+    )
+
+
+def _neighbor_bucket_col(n_planes: int):
+    """qbucket + its Hamming-1 probes as an array column."""
+    return F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+
+
+def ann_lsh_topk_batch(
+    embeddings: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 32,
+    bucket_table: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, rank, vec_id, sim6): multi-probe LSH ANN for a BATCH of
+    queries against the precomputed bucket table.
+
+    Plan shape at 100 TB: queries (tiny) broadcast with their probe
+    buckets; ONE bucket-pruned join against the persisted bucket table
+    yields candidates; exact cosine re-rank; per-query bounded top-k via
+    a window PARTITIONED by query_id (never a global no-partition
+    window). A vector has exactly one bucket and probe lists are
+    distinct, so no candidate dedup pass is needed.
+    """
+    bt = bucket_table if bucket_table is not None else ann_bucket_table(
+        embeddings, n_planes=n_planes, dim=dim
+    )
+    ids = list(query_vec_ids)
+    qv = bt.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = qv.select(
+        "query_id",
+        "qv",
+        F.explode(_neighbor_bucket_col(n_planes)).alias("bucket"),
+    )
+    cand = bt.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("qv"))
+            / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+            6,
+        ).alias("sim6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim6")
+    )
 
 
 def ann_lsh_topk(
@@ -99,48 +197,18 @@ def ann_lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 32,
+    bucket_table: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates share the query's hyperplane
-    bucket (plus Hamming-1 neighbor buckets), then exact re-rank.
-
-    At scale this replaces the full scan with a bucket-pruned scan; the
-    bucket table can be precomputed/bucketed-by on write.
-    """
-    buckets = random_hyperplane_buckets(embeddings, n_planes=n_planes, dim=dim)
-    qb = buckets.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("bucket").alias("qbucket")
+    """Single-query multi-probe LSH ANN: bucket-pruned candidates, exact
+    cosine re-rank, distributed bounded-heap top-k
+    (``orderBy().limit(k)`` → TakeOrderedAndProject) and THEN the rank
+    window over only k rows."""
+    out = ann_lsh_topk_batch(
+        embeddings,
+        [query_vec_id],
+        k=k,
+        n_planes=n_planes,
+        dim=dim,
+        bucket_table=bucket_table,
     )
-    neighbor_buckets = qb.select(
-        F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(n_planes)
-                ],
-            )
-        ).alias("bucket")
-    ).distinct()
-    cand_ids = buckets.join(F.broadcast(neighbor_buckets), "bucket").select("vec_id")
-    cand = embeddings.join(cand_ids, "vec_id")
-    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qv")
-    )
-    sim = (
-        cand.filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
-                6,
-            ).alias("sim6"),
-        )
-    )
-    w = Window.orderBy(F.col("sim6").desc(), F.col("vec_id").asc())
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "sim6")
-    )
+    return out.select("rank", "vec_id", "sim6")

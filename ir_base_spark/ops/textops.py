@@ -55,12 +55,24 @@ def term_percentile_slice(
 ) -> DataFrame:
     """DF-ranked percentile slice of the dictionary — the feature-selection
     percentile cut (/root/reference/src/Analyzer/FeatureSelector.java:47-61):
-    sort terms ascending by DF, keep [start, end) of the distribution."""
+    sort terms ascending by DF, keep [start, end) of the distribution.
+
+    Rank is the two-phase range-partitioned dense rank (no global
+    single-partition window — a ~10^8-term dictionary ranks fully
+    distributed); percent_rank == rk/(n-1) because (df, term) is a total
+    order."""
+    from ..index.dictionary import assign_dense_ids
+
     stats = term_stats(documents)
-    w = Window.orderBy(F.col("df").asc(), F.col("term").asc())
+    ranked = assign_dense_ids(
+        stats, [F.col("df").asc(), F.col("term").asc()], "_rk"
+    )
+    n = stats.count()  # hits the cache assign_dense_ids pinned
+    if n <= 1:
+        return stats.select("term", "df", "ttf").limit(0)
+    pr = F.col("_rk") / float(n - 1)
     return (
-        stats.withColumn("pr", F.percent_rank().over(w))
-        .filter((F.col("pr") >= start) & (F.col("pr") < end))
+        ranked.filter((pr >= start) & (pr < end))
         .select("term", "df", "ttf")
     )
 
@@ -107,17 +119,14 @@ def bm25_topk(
     """(rank, doc_id, score6): rank on the 6-dp-rounded score so the
     boundary tie-break (doc_id asc) is float-order-independent and the
     DuckDB oracle agrees bit-for-bit."""
+    from ..functions.ranking import rank_bounded
+
     scores = bm25_scores(documents, query_terms).withColumn(
         "score6", F.round(F.col("score"), 6)
     )
-    # global top-k via orderBy().limit(): Spark's TakeOrderedAndProject is
-    # a distributed bounded heap (per-partition heap + driver merge — the
-    # MyPriorityQueue analog); the rank window then runs on only k rows.
-    top = scores.orderBy(F.col("score6").desc(), F.col("doc_id").asc()).limit(k)
-    w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "score6"
-    )
+    return rank_bounded(
+        scores, [F.col("score6").desc(), F.col("doc_id").asc()], k
+    ).select("rank", "doc_id", "score6")
 
 
 def lm_topk(
@@ -155,14 +164,14 @@ def lm_topk(
     contrib = F.log(
         (F.col("tf") + F.lit(mu) * F.col("p")) / (F.col("dl") + F.lit(mu))
     )
+    from ..functions.ranking import rank_bounded
+
     scores = matched.groupBy("doc_id").agg(
         F.round(F.sum(contrib), 6).alias("score6")
     )
-    top = scores.orderBy(F.col("score6").desc(), F.col("doc_id").asc()).limit(k)
-    w = Window.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "score6"
-    )
+    return rank_bounded(
+        scores, [F.col("score6").desc(), F.col("doc_id").asc()], k
+    ).select("rank", "doc_id", "score6")
 
 
 # ------------------------------------------------------------------ dedup
@@ -307,30 +316,34 @@ def minhash_lsh_candidates(
 
 
 def simhash64(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash over token xxhash64 bit votes — pure column algebra:
-    per-bit weighted majority via explode(sequence(0,63)).
+    """64-bit SimHash over token xxhash64 bit votes — pure column algebra.
+
+    The 64 per-bit weighted-majority votes are 64 conditional-sum
+    aggregates in ONE groupBy (the minhash_signatures shape): no row
+    blowup, one shuffle of (doc_id, 64 longs) — vs the naive
+    explode(sequence(0,63)) plan that inflates the token stream 64×.
 
     (doc_id, simhash: bigint)."""
     tf = token_counts(documents).withColumn("h", F.xxhash64(F.col("term")))
-    bits = tf.select(
-        "doc_id",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-    ).withColumn(
-        "vote",
-        F.expr(
-            "CASE WHEN (shiftright(h, bit) & 1L) = 1L THEN tf ELSE -tf END"
-        ),
-    )
-    agg = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return agg.groupBy("doc_id").agg(
+    votes = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.when(
+                F.expr(f"(shiftright(h, {b}) & 1L) = 1L"), F.col("tf")
+            ).otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = tf.groupBy("doc_id").agg(*votes)
+    # assemble the fingerprint: sum of distinct powers of two == bitwise
+    # OR; shiftleft(1L, 63) is the sign bit (two's complement), exactly
+    # the uint64 bit pattern reinterpreted as long
+    sim = None
+    for b in range(64):
+        bit = F.when(
+            F.col(f"v{b}") > 0, F.expr(f"shiftleft(1L, {b})")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 # ------------------------------------------------------- text statistics

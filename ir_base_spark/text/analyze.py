@@ -16,8 +16,10 @@ Semantics follow the reference analyzer chain
   len <= 1, len >= 20.
 - N-gram expansion (``TokenizerNormalizeStemmer``, DocAnalyzer.java:
   223-258): emit legit unigrams plus ``w1-w2``-joined n-grams; empty
-  normalized tokens break the n-gram chain; an n-gram is legit when at
-  least one constituent is legit.
+  normalized tokens break the n-gram chain; an n-gram is emitted only
+  when ALL constituents are legit (the reference's ``legit &=
+  isLegit(tokens[j])`` accumulator — its code comment says "at least
+  one" but the code ANDs; parity follows the code).
 
 Everything here is pure Python over plain strings, shared verbatim by the
 Spark Arrow UDFs and the oracle. The batch helpers amortize work across a
@@ -86,8 +88,8 @@ def analyze(text: str, ngrams: int = 1) -> list[str]:
     """Full pipeline for one document; returns the analyzed token stream.
 
     Emission order matches the reference: at each position, the unigram
-    (if legit) followed by the 2..n-grams ending at that position (if any
-    constituent is legit). Empty-normalized tokens reset the window.
+    (if legit) followed by the 2..n-grams ending at that position (if ALL
+    constituents are legit). Empty-normalized tokens reset the window.
     """
     if not text:
         return []
@@ -105,7 +107,7 @@ def analyze(text: str, ngrams: int = 1) -> list[str]:
             out.append(tok[0])
         for n in range(2, len(window) + 1):
             gram = window[-n:]
-            if any(legit for _, legit in gram):
+            if all(legit for _, legit in gram):
                 out.append("-".join(t for t, _ in gram))
     return out
 

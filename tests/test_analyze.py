@@ -57,13 +57,18 @@ def test_term_counts():
 
 
 def test_bigrams_chain_and_legitimacy():
-    # 'the' is a stopword: not emitted as unigram, but bigrams containing
-    # one legit constituent are emitted (DocAnalyzer.java:223-258).
+    # 'the' is a stopword: not legit, so neither the unigram NOR any
+    # bigram containing it is emitted — the reference ANDs legitimacy
+    # across constituents (DocAnalyzer.java:249 ``legit &= isLegit``).
     toks = analyze("the cat", ngrams=2)
-    assert toks == ["the-cat", "cat"] or toks == ["cat", "the-cat"]
+    assert toks == ["cat"]
+    assert analyze("big cat", ngrams=2) == ["big", "cat", "big-cat"]
     # punctuation-only token breaks the chain
     toks2 = analyze("cat ... dog", ngrams=2)
     assert "cat-dog" not in toks2
+    # a stopword mid-trigram poisons every gram that spans it
+    toks3 = analyze("big the cat", ngrams=3)
+    assert "big-the-cat" not in toks3 and "the-cat" not in toks3
 
 
 def test_bigram_order_of_emission():

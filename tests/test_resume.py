@@ -94,3 +94,25 @@ def test_resumed_index_identical_to_fresh(spark, fixture_small, tmp_path):
     wa = {tuple(r) for r in ia.weights.collect()}
     wb = {tuple(r) for r in ib.weights.collect()}
     assert wa == wb
+
+
+def test_finalize_pruning_identity(spark, fixture_small, tmp_path):
+    """finalize_index(min_df/max_df) must re-project doc stats onto the
+    pruned dictionary exactly like build_index's pruning branch."""
+    from ir_base_spark.index.build import build_index
+
+    t = spark.createDataFrame(fixture_small.transcripts)
+    root = str(tmp_path / "idx")
+    resumable_build(spark, t, root, num_partitions=4)
+
+    fin = finalize_index(spark, root, min_df=3, max_df=500)
+    ref = build_index(spark, t, min_df=3, max_df=500)
+
+    assert fin.n_docs == ref.n_docs
+    assert abs(fin.avg_doc_len - ref.avg_doc_len) < 1e-12
+    ta = {tuple(r) for r in fin.terms.collect()}
+    tb = {tuple(r) for r in ref.terms.collect()}
+    assert ta == tb
+    wa = {(r[0], r[1], r[2], round(r[3], 12)) for r in fin.weights.collect()}
+    wb = {(r[0], r[1], r[2], round(r[3], 12)) for r in ref.weights.collect()}
+    assert wa == wb
