@@ -74,3 +74,50 @@ def test_bigrams_chain_and_legitimacy():
 def test_bigram_order_of_emission():
     toks = analyze("big cat runs", ngrams=2)
     assert toks == ["big", "cat", "big-cat", "run", "cat-run"]
+
+
+def test_vectorized_tokenizer_matches_per_row(spark):
+    """The batch-level unigram kernel must emit exactly the per-row
+    term_counts result (tf, doc_len, one head per surviving turn)."""
+    import pandas as pd
+
+    from ir_base_spark.index.tokenize import tokenize_turns
+
+    rows = [
+        ("c1", 0, "The cat and the hat ran far away 42 times"),
+        ("c1", 1, ""),
+        ("c2", 0, None),
+        ("c2", 1, "running dogs running FLIES ... cats!! 7 7"),
+        ("c3", 0, "a"),  # analyzes to nothing (len<=1)
+        ("c3", 1, "ＦＵＬＬＷＩＤＴＨ text with unicode ﬁ ligatures"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    t = spark.createDataFrame(pdf)
+
+    for analyzer in ("reference", "simple"):
+        for mdt in (0, 2):
+            got = {
+                (r["conv_id"], r["turn_idx"], r["term"]): (
+                    r["tf"], r["doc_len"], r["is_doc_head"]
+                )
+                for r in tokenize_turns(
+                    t, analyzer=analyzer, min_distinct_terms=mdt
+                ).collect()
+            }
+            exp = {}
+            heads = {}
+            for conv_id, turn_idx, text in rows:
+                tc = term_counts(text or "", analyzer=analyzer)
+                if len(tc) <= mdt:
+                    continue
+                dl = float(sum(tc.values()))
+                for term, tf in tc.items():
+                    exp[(conv_id, turn_idx, term)] = (float(tf), dl)
+            assert set(got) == set(exp), (analyzer, mdt)
+            for k, (tf, dl) in exp.items():
+                assert got[k][0] == tf and got[k][1] == dl, (analyzer, mdt, k)
+            # exactly one head row per surviving turn
+            per_turn = {}
+            for (c, ti, _), (_, _, h) in got.items():
+                per_turn[(c, ti)] = per_turn.get((c, ti), 0) + h
+            assert all(v == 1 for v in per_turn.values()), (analyzer, mdt)
