@@ -142,6 +142,166 @@ def q_bm25_weights_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_sublinear_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setFeatureValues('TFIDF-sublinear', 0) — Analyzer.java:214-234."""
+    from ir_base_spark.index.build import build_index
+
+    t = _docs_as_transcripts(_docs(spark, sf_dir))
+    idx = build_index(spark, t, analyzer="simple", scheme="TFIDF-SUBLINEAR")
+    return (
+        idx.weights.join(F.broadcast(idx.terms.select("term", "term_id")), "term_id")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "term",
+            F.round(F.col("weight"), 9).alias("w"),
+        )
+    )
+
+
+def q_pln_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setFeatureValues('PLN', 0) — pivoted length norm, Analyzer.java:
+    264-291 (s=0.5)."""
+    from ir_base_spark.index.build import build_index
+
+    t = _docs_as_transcripts(_docs(spark, sf_dir))
+    idx = build_index(spark, t, analyzer="simple", scheme="PLN")
+    return (
+        idx.weights.join(F.broadcast(idx.terms.select("term", "term_id")), "term_id")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "term",
+            F.round(F.col("weight"), 9).alias("w"),
+        )
+    )
+
+
+def q_bm25_weights_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """setFeatureValues('BM25', 1) — L1 doc norm (Analyzer.java:316-321)."""
+    from ir_base_spark.index.build import build_index
+
+    t = _docs_as_transcripts(_docs(spark, sf_dir))
+    idx = build_index(spark, t, analyzer="simple", scheme="BM25", norm=1)
+    return (
+        idx.weights.join(F.broadcast(idx.terms.select("term", "term_id")), "term_id")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "term",
+            F.round(F.col("weight"), 9).alias("w"),
+        )
+    )
+
+
+def q_lm_topk_addone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet LM with the reference's ADD-ONE background
+    (_Corpus.getBackgroundProb, _Corpus.java:161-177)."""
+    from ir_base_spark.ops.textops import lm_topk
+
+    return lm_topk(
+        _docs(spark, sf_dir), BM25_QUERY_TERMS, mu=800.0, k=BM25_K,
+        background="add_one",
+    )
+
+
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average mutual information (FeatureSelector.MI :119-144, incl. its
+    ·DF quirk). Gate compares the FINITE slice: terms with a zero class
+    cell score -inf in the reference (Math.log(0)) and DuckDB refuses
+    ln(0), so both sides exclude them; the op itself keeps -inf."""
+    from ir_base_spark.ops.feature_selection import mutual_info_terms
+
+    out = mutual_info_terms(_docs(spark, sf_dir), _labels(spark, sf_dir))
+    return out.filter(F.col("score") != F.lit(float("-inf"))).select(
+        "term",
+        (F.floor(F.col("score") * 1000000.0 + 0.5) / 1000000.0).alias("score"),
+    )
+
+
+def _event_rankings(spark: SparkSession, sf_dir: str, max_user: int) -> DataFrame:
+    """Shared L2R input: (query=event_type, doc=user_id, label=user_id%4)."""
+    return (
+        _tbl(spark, sf_dir, "events")
+        .filter(F.col("user_id") < max_user)
+        .select(
+            F.col("event_type").alias("query_id"),
+            F.col("user_id").alias("doc_id"),
+            (F.col("user_id") % 4).alias("label"),
+        )
+        .distinct()
+    )
+
+
+def q_ranking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.l2r import ranking_pairs
+
+    return ranking_pairs(_event_rankings(spark, sf_dir, max_user=40))
+
+
+RANKFV_QUERY_DOCS = [0, 1, 2]
+
+
+def q_ranking_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.l2r import ranking_features
+
+    return ranking_features(
+        _docs(spark, sf_dir),
+        _labels(spark, sf_dir),
+        RANKFV_QUERY_DOCS,
+        max_doc_id=60,
+    )
+
+
+def _predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-class 'classifier' for the eval ops: predicted
+    label = text length mod 4, true label from the labels table."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", (F.length("text") % 4).cast("int").alias("pred_label"))
+        .join(
+            _labels(spark, sf_dir).select(
+                "doc_id", F.col("label").cast("int").alias("true_label")
+            ),
+            "doc_id",
+        )
+    )
+
+
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.evaluate import confusion_matrix
+
+    return confusion_matrix(_predictions(spark, sf_dir))
+
+
+def q_prf1_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.evaluate import micro_prf
+
+    return micro_prf(_predictions(spark, sf_dir))
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH→verify→survivors composition (rows-only: minhash banding uses
+    xxhash64, not expressible in DuckDB; exact-Jaccard verify is covered
+    by the ngram_jaccard ✓SQL entry and tests/test_ops.py)."""
+    from ir_base_spark.ops.textops import dedup_near
+
+    return dedup_near(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_shuffled_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import shuffled_sample
+
+    return shuffled_sample(_docs(spark, sf_dir), n=20)
+
+
+def q_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.textops import kfold_assign
+
+    return (
+        kfold_assign(_docs(spark, sf_dir), k=5)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled-corpus adapter: embeddings.vec_id aligns with
     documents.doc_id in the driver testdata."""
@@ -342,10 +502,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": q_bm25_topk_docs,
         "bm25_topk_docs_wand": q_bm25_topk_docs_wand,
         "lm_topk_docs": q_lm_topk_docs,
+        "lm_topk_addone": q_lm_topk_addone,
         "tfidf_weights": q_tfidf_weights,
+        "tfidf_sublinear_weights": q_tfidf_sublinear_weights,
+        "pln_weights": q_pln_weights,
         "bm25_weights_l2": q_bm25_weights_l2,
+        "bm25_weights_l1": q_bm25_weights_l1,
         "feature_chi": q_feature_chi,
         "feature_ig": q_feature_ig,
+        "feature_mi": q_feature_mi,
+        "ranking_pairs": q_ranking_pairs,
+        "ranking_features": q_ranking_features,
+        "confusion_matrix": q_confusion_matrix,
+        "prf1_eval": q_prf1_eval,
+        "dedup_near": q_dedup_near,
+        "shuffled_sample": q_shuffled_sample,
+        "kfold_counts": q_kfold_counts,
         "token_counts": q_token_counts,
         "term_stats": q_term_stats,
         "term_percentile_slice": q_term_percentile_slice,
@@ -482,6 +654,7 @@ per AS (
 def oracle_sql() -> dict[str, str]:
     stop = _stopword_in_list()
     text_stats_cte = _TEXT_STATS_SQL.replace("{STOP}", stop)
+    qdocs = ", ".join(str(i) for i in RANKFV_QUERY_DOCS)
     return {
         "bm25_topk_docs": f"""
 WITH {_BM25_CTE}
@@ -546,6 +719,217 @@ wgt AS (
 SELECT doc_id, term,
        round(w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)), 9) AS w
 FROM wgt
+""",
+        "lm_topk_addone": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+ttf AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+tot AS (SELECT sum(ttf) AS T, CAST(count(*) AS DOUBLE) AS V FROM ttf),
+p AS (SELECT term, (1.0 + ttf) / (tot.T + tot.V) AS p FROM ttf CROSS JOIN tot),
+q(term) AS (VALUES ('spark'), ('join'), ('window')),
+qp AS (SELECT p.term, p.p FROM p JOIN q USING (term)),
+pairs AS (SELECT dl.doc_id, dl.dl, qp.term, qp.p FROM dl CROSS JOIN qp),
+m AS (
+  SELECT pairs.doc_id, pairs.dl, pairs.p, coalesce(tf.tf, 0.0) AS tf
+  FROM pairs LEFT JOIN tf ON tf.doc_id = pairs.doc_id AND tf.term = pairs.term
+),
+sc AS (
+  SELECT doc_id, round(sum(ln((tf + 800.0 * p) / (dl + 800.0))), 6) AS score6
+  FROM m GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score6 DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score6
+FROM sc
+QUALIFY rank <= {BM25_K}
+""",
+        "tfidf_sublinear_weights": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term,
+       round((1.0 + log10(tf.tf)) * (1.0 + log10(st.n / dfx.df)), 9) AS w
+FROM tf JOIN dfx USING (term) CROSS JOIN st
+""",
+        "pln_weights": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS navg FROM dl),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.term,
+       round(((1.0 + ln(1.0 + ln(tf.tf)))
+              / (0.5 + 0.5 * dl.dl / st.navg))
+             * ln((st.n + 1.0) / dfx.df), 9) AS w
+FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+""",
+        "bm25_weights_l1": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS navg FROM dl),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+wgt AS (
+  SELECT tf.doc_id, tf.term,
+         ln((st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * tf.tf * 2.5
+         / (1.5 * (0.25 + 0.75 * dl.dl / st.navg) + tf.tf) AS w
+  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+)
+SELECT doc_id, term,
+       round(CASE WHEN sum(abs(w)) OVER (PARTITION BY doc_id) > 0
+                  THEN w / sum(abs(w)) OVER (PARTITION BY doc_id)
+                  ELSE w END, 9) AS w
+FROM wgt
+""",
+        "feature_mi": f"""
+WITH {_TOK_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM tok2),
+lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+nn AS (SELECT count(*) AS n FROM lab),
+cls AS (SELECT label, count(*) AS n_c FROM lab GROUP BY label),
+tc AS (SELECT term, label, count(*) AS df_tc
+       FROM dt JOIN lab USING (doc_id) GROUP BY 1, 2),
+tdf AS (SELECT term, CAST(sum(df_tc) AS BIGINT) AS df FROM tc GROUP BY 1),
+grid AS (
+  SELECT t.term, c.label, coalesce(tc.df_tc, 0) AS df_tc,
+         t.df, c.n_c, (SELECT n FROM nn) AS n
+  FROM tdf t CROSS JOIN cls c
+  LEFT JOIN tc ON tc.term = t.term AND tc.label = c.label
+),
+gf AS (SELECT * FROM grid WHERE df > 1 AND df < n * 0.8)
+SELECT term,
+       floor(sum(ln(df_tc * n / n_c * df) * (n_c / n)) * 1000000.0 + 0.5)
+           / 1000000.0 AS score
+FROM gf GROUP BY term
+HAVING min(df_tc) > 0
+""",
+        "ranking_pairs": """
+WITH r AS (
+  SELECT DISTINCT event_type AS query_id, user_id AS doc_id,
+         user_id % 4 AS label
+  FROM events WHERE user_id < 40
+),
+p AS (
+  SELECT a.query_id, a.doc_id AS doc_a, a.label AS la,
+         b.doc_id AS doc_b, b.label AS lb
+  FROM r a JOIN r b
+    ON a.query_id = b.query_id AND a.doc_id < b.doc_id AND a.label <> b.label
+)
+SELECT query_id,
+       CASE WHEN la > lb THEN doc_a ELSE doc_b END AS better_doc,
+       CASE WHEN la > lb THEN doc_b ELSE doc_a END AS worse_doc
+FROM p
+""",
+        "ranking_features": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents WHERE doc_id < 60
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id < 60),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+stats AS (SELECT doc_id, sum(tf) AS dlen, sqrt(sum(tf * tf)) AS l2,
+                 count(*) AS nterms
+          FROM tf GROUP BY doc_id),
+aidf AS (SELECT doc_id, avg(ln((nn.n + 1.0) / dfx.df)) AS avg_idf
+         FROM tf JOIN dfx USING (term) CROSS JOIN nn GROUP BY doc_id),
+sprop AS (SELECT doc_id,
+                 round(avg(CASE WHEN term IN ({{STOP}}) THEN 1.0 ELSE 0.0 END), 6)
+                     AS stopword_ratio
+          FROM tok2 GROUP BY doc_id),
+lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+qtf AS (SELECT doc_id AS query_doc, term, tf AS qtf FROM tf
+        WHERE doc_id IN ({{QDOCS}})),
+qstats AS (SELECT doc_id AS query_doc, dlen AS q_dlen, l2 AS q_l2,
+                  nterms AS q_nterms
+           FROM stats WHERE doc_id IN ({{QDOCS}})),
+qlab AS (SELECT doc_id AS query_doc, label AS q_label FROM lab
+         WHERE doc_id IN ({{QDOCS}})),
+inter AS (
+  SELECT qtf.query_doc, tf.doc_id,
+         sum(tf.tf * qtf.qtf) AS dot, count(*) AS n_common
+  FROM tf JOIN qtf USING (term)
+  WHERE tf.doc_id <> qtf.query_doc
+  GROUP BY 1, 2
+)
+SELECT i.query_doc, i.doc_id,
+       floor(i.dot / (s.l2 * qs.q_l2) * 1000000.0 + 0.5) / 1000000.0 AS bow_cos,
+       0.0 AS topical_sim,
+       CAST(l.label = ql.q_label AS INT) AS same_label,
+       floor(abs(qs.q_dlen - s.dlen) / qs.q_dlen * 1000000.0 + 0.5)
+           / 1000000.0 AS len_diff,
+       floor(CAST(i.n_common AS DOUBLE)
+             / (s.nterms + qs.q_nterms - i.n_common) * 1000000.0 + 0.5)
+           / 1000000.0 AS jaccard,
+       0.0 AS senti_diff,
+       0.0 AS pos_sim,
+       0.0 AS aspect_sim,
+       sp.stopword_ratio AS stopword_prop,
+       floor(a.avg_idf * 1000000.0 + 0.5) / 1000000.0 AS avg_idf
+FROM inter i
+JOIN stats s ON s.doc_id = i.doc_id
+JOIN qstats qs ON qs.query_doc = i.query_doc
+JOIN aidf a ON a.doc_id = i.doc_id
+JOIN sprop sp ON sp.doc_id = i.doc_id
+JOIN lab l ON l.doc_id = i.doc_id
+JOIN qlab ql ON ql.query_doc = i.query_doc
+""".replace("{STOP}", stop).replace("{QDOCS}", qdocs),
+        "confusion_matrix": """
+SELECT CAST(length(text) % 4 AS INT) AS pred_label,
+       CAST(label AS INT) AS true_label,
+       count(*) AS n
+FROM documents
+JOIN (SELECT vec_id AS doc_id, label FROM embeddings) USING (doc_id)
+GROUP BY 1, 2
+""",
+        "prf1_eval": """
+WITH cm AS (
+  SELECT CAST(length(text) % 4 AS INT) AS pred_label,
+         CAST(label AS INT) AS true_label,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM documents
+  JOIN (SELECT vec_id AS doc_id, label FROM embeddings) USING (doc_id)
+  GROUP BY 1, 2
+),
+pp AS (SELECT pred_label AS label, sum(n) AS pp FROM cm GROUP BY 1),
+tpt AS (SELECT true_label AS label, sum(n) AS tp_total FROM cm GROUP BY 1),
+diag AS (SELECT pred_label AS label, n AS tp FROM cm
+         WHERE pred_label = true_label),
+j AS (
+  SELECT coalesce(pp.label, tpt.label) AS label,
+         coalesce(pp.pp, 0) AS pp,
+         coalesce(tpt.tp_total, 0) AS tp_total,
+         coalesce(d.tp, 0) AS tp
+  FROM pp FULL OUTER JOIN tpt ON pp.label = tpt.label
+  LEFT JOIN diag d ON d.label = coalesce(pp.label, tpt.label)
+),
+pr AS (
+  SELECT label,
+         CASE WHEN pp > 0 THEN tp / pp ELSE 0.0 END AS p,
+         CASE WHEN tp_total > 0 THEN tp / tp_total ELSE 0.0 END AS r
+  FROM j
+)
+SELECT label,
+       floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision,
+       floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall,
+       floor(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS f1
+FROM pr
+""",
+        "shuffled_sample": """
+SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS INT)
+           AS pos,
+       doc_id
+FROM documents
+QUALIFY pos <= 20
+""",
+        "kfold_counts": """
+SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 5 AS INT) AS fold,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
 """,
         "feature_chi": f"""
 WITH {_TOK_CTE},

@@ -70,11 +70,10 @@ def _cached_transcripts(spark, n_conversations: int, seed: int = 42):
 
 def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     from ir_base_spark.fixtures import make_transcripts, make_queries
-    from ir_base_spark.index.blocks import build_block_index
-    from ir_base_spark.index.dictionary import assign_doc_ids
-    from ir_base_spark.index.manifest import finalize_index, resumable_build
+    from ir_base_spark.index.blocks import encode_shards
+    from ir_base_spark.index.manifest import finalize_sharded, resumable_build
     from ir_base_spark.query.dataframe_bm25 import analyze_query_terms, topk_search
-    from ir_base_spark.query.wand import wand_topk
+    from ir_base_spark.query.wand import wand_topk_sharded
 
     t = _cached_transcripts(spark, n_conversations)
     n_turns = t.count()
@@ -90,15 +89,11 @@ def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     out["_turns_per_sec"] = round(n_turns / out["index_build"], 1)
 
     t0 = time.time()
-    idx = finalize_index(spark, root)
-    idx.weights.cache().count()
+    idx, base = finalize_sharded(spark, root)
     out["index_finalize"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    docs = assign_doc_ids(idx.doc_lens).cache()
-    docs.count()
-    bidx = build_block_index(idx, docs)
-    bidx.blocks.cache().count()
+    encode_shards(spark, root)
     out["block_build"] = round(time.time() - t0, 3)
 
     qpdf = make_queries(
@@ -109,7 +104,9 @@ def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     qt.count()
 
     t0 = time.time()
-    wand_topk(bidx, qt).write.format("noop").mode("overwrite").save()
+    wand_topk_sharded(spark, root, qt).write.format("noop").mode(
+        "overwrite"
+    ).save()
     out["wand_queries"] = round(time.time() - t0, 3)
 
     t0 = time.time()

@@ -40,6 +40,71 @@ def mean_average_precision(results: DataFrame, label_col: str = "label") -> floa
     return float(row["map"] or 0.0)
 
 
+def confusion_matrix(
+    preds: DataFrame,
+    pred_col: str = "pred_label",
+    true_col: str = "true_label",
+) -> DataFrame:
+    """(pred_label, true_label, n): the k×k micro confusion matrix —
+    _PerformanceStat.addOnePredResult accumulation
+    (/root/reference/src/structures/_PerformanceStat.java:38-40,84-86).
+    Zero cells are omitted (sparse); one shuffle on the label pair."""
+    return (
+        preds.groupBy(
+            F.col(pred_col).alias("pred_label"),
+            F.col(true_col).alias("true_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def micro_prf(
+    preds: DataFrame,
+    pred_col: str = "pred_label",
+    true_col: str = "true_label",
+) -> DataFrame:
+    """(label, precision, recall, f1): per-class micro P/R/F1 with the
+    reference's zero guards — P=0 when the class is never predicted,
+    R=0 when it never occurs, F1=0 when P+R=0
+    (_PerformanceStat.calculatePRF, :54-78; reported by
+    BaseClassifier.calcMicroPerfStat, src/Classifier/BaseClassifier.java:
+    164-190).
+
+    Precision_i = M[i][i] / Σ_j M[i][j] (row = predicted),
+    Recall_i    = M[i][i] / Σ_j M[j][i] (column = true).
+    """
+    cm = confusion_matrix(preds, pred_col, true_col)
+    pp = cm.groupBy(F.col("pred_label").alias("label")).agg(
+        F.sum("n").alias("pp")
+    )
+    tp_col = cm.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum("n").alias("tp_total")
+    )
+    diag = cm.filter(F.col("pred_label") == F.col("true_label")).select(
+        F.col("pred_label").alias("label"), F.col("n").alias("tp")
+    )
+    j = (
+        pp.join(tp_col, "label", "full_outer")
+        .join(diag, "label", "left")
+        .fillna(0, subset=["pp", "tp_total", "tp"])
+    )
+    prec = F.when(F.col("pp") > 0, F.col("tp") / F.col("pp")).otherwise(0.0)
+    rec = F.when(F.col("tp_total") > 0, F.col("tp") / F.col("tp_total")).otherwise(0.0)
+    j = j.withColumn("precision", prec).withColumn("recall", rec)
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2.0 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(0.0)
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return j.select(
+        "label",
+        r6(F.col("precision")).alias("precision"),
+        r6(F.col("recall")).alias("recall"),
+        r6(f1).alias("f1"),
+    )
+
+
 def ndcg_at_k(results: DataFrame, k: int = 10, label_col: str = "label") -> DataFrame:
     """(query_id, ndcg): graded-relevance NDCG@k per the reference
     formula (natural log discount)."""

@@ -26,6 +26,7 @@ two-stage plan with one shuffle.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -137,6 +138,124 @@ def decode_postings_block(
     ids = np.cumsum(gaps)
     w = np.frombuffer(weights, dtype=np.float64)
     return ids, w
+
+
+# ------------------------------------------------------- sharded encode
+
+def _blocks_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term_id", pa.int64()),
+            ("bucket", pa.int32()),
+            ("block_seq", pa.int32()),
+            ("n", pa.int32()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("max_weight", pa.float64()),
+            ("doc_gaps", pa.binary()),
+            ("weights", pa.binary()),
+        ]
+    )
+
+
+def encode_shards(
+    spark,
+    index_root: str,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> dict:
+    """Doc-shard block encode with ZERO posting movement through Spark.
+
+    Input: ``<index_root>/weights/partition_id=<p>/`` (finalize_sharded);
+    output: ``<index_root>/blocks/partition_id=<p>/blocks.parquet``.
+
+    Each task receives only a PATH (a one-row Arrow batch); the shard's
+    postings are read directly with pyarrow (C++ parquet reader), sorted
+    (term_id, doc_id) with one numpy lexsort — the shard is one bucket,
+    so this local sort replaces the old cluster-wide
+    repartition(term_id, bucket) shuffle — encoded vectorized, and the
+    block file is written back with pyarrow (tmp + atomic rename).
+    Posting bytes never cross the JVM↔Python socket in either direction
+    (measured: that Arrow row stream, not the encode kernel, dominated
+    the old block phase and did not scale with cores). Per-shard
+    manifest rows (blocks, bytes, wall) come back as the only task
+    output. Row groups are kept small so query-time term_id predicate
+    pushdown prunes at row-group granularity.
+    """
+    import glob
+
+    weights_root = os.path.join(index_root, "weights")
+    blocks_root = os.path.join(index_root, "blocks")
+    os.makedirs(blocks_root, exist_ok=True)
+    shard_dirs = sorted(glob.glob(os.path.join(weights_root, "partition_id=*")))
+    rows = [
+        (int(d.rsplit("=", 1)[1]), d) for d in shard_dirs
+    ]
+    fdf = spark.createDataFrame(rows, "partition_id int, path string").repartition(
+        max(1, len(rows))
+    )
+
+    def kernel(batches):
+        import time as _t
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = _blocks_arrow_schema()
+        for pdf in batches:
+            for pid, path in zip(pdf["partition_id"], pdf["path"]):
+                t0 = _t.time()
+                tbl = pq.read_table(
+                    path, columns=["term_id", "doc_id", "weight"], use_threads=False
+                )
+                t = tbl["term_id"].to_numpy().astype(np.int64, copy=False)
+                d = tbl["doc_id"].to_numpy().astype(np.int64, copy=False)
+                wgt = tbl["weight"].to_numpy().astype(np.float64, copy=False)
+                order = np.lexsort((d, t))
+                enc = _encode_sorted_run(
+                    t[order],
+                    np.full(t.shape, pid, dtype=np.int64),
+                    d[order],
+                    wgt[order],
+                    block_size,
+                )
+                out_dir = os.path.join(blocks_root, f"partition_id={int(pid)}")
+                os.makedirs(out_dir, exist_ok=True)
+                out_path = os.path.join(out_dir, "blocks.parquet")
+                tmp = out_path + f".tmp{os.getpid()}"
+                pq.write_table(
+                    pa.Table.from_pandas(enc, schema=schema, preserve_index=False),
+                    tmp,
+                    row_group_size=4096,
+                )
+                os.replace(tmp, out_path)
+                yield pd.DataFrame(
+                    {
+                        "partition_id": pd.Series([int(pid)], dtype="int32"),
+                        "n_blocks": pd.Series([len(enc)], dtype="int64"),
+                        "bytes": pd.Series(
+                            [os.path.getsize(out_path)], dtype="int64"
+                        ),
+                        "wall_sec": pd.Series([_t.time() - t0], dtype="float64"),
+                    }
+                )
+
+    report = fdf.mapInPandas(
+        kernel, "partition_id int, n_blocks long, bytes long, wall_sec double"
+    ).collect()
+    return {
+        "shards": len(report),
+        "blocks": int(sum(r["n_blocks"] for r in report)),
+        "bytes": int(sum(r["bytes"] for r in report)),
+        "block_size": block_size,
+    }
+
+
+def load_sharded_blocks(spark, index_root: str):
+    """blocks DataFrame (BLOCK_SCHEMA + partition_id) from encode_shards
+    output; bucket == partition_id == doc shard."""
+    return spark.read.parquet(os.path.join(index_root, "blocks"))
 
 
 # ---------------------------------------------------------------- build
@@ -284,6 +403,7 @@ def build_block_index(
     docs_with_ids: DataFrame,
     block_size: int = DEFAULT_BLOCK_SIZE,
     bucket_bits: int | None = None,
+    doc_base: DataFrame | None = None,
 ) -> BlockIndex:
     """InvertedIndex (M1) + doc-id map → compressed block index.
 
@@ -291,13 +411,23 @@ def build_block_index(
     bucket salt bounds any single group to <= 2^bucket_bits postings,
     independent of term hotness. ``bucket_bits=None`` picks a corpus-
     adaptive width (choose_bucket_bits).
+
+    Doc ids attach to the posting stream via the conversation-level base
+    map (dictionary.conv_doc_base) — a BROADCAST hash join plus an
+    integer add, not a turn-level sort-merge shuffle of every posting on
+    the (conv_id, turn_idx) string key. ``docs_with_ids`` must use the
+    same base (assign_doc_ids does); pass ``doc_base`` to reuse one.
     """
     if bucket_bits is None:
         bucket_bits = choose_bucket_bits(index.n_docs)
+    if doc_base is None:
+        from .dictionary import conv_doc_base
+
+        doc_base = conv_doc_base(index.doc_lens)
     w = (
-        index.weights.join(
-            docs_with_ids.select("conv_id", "turn_idx", "doc_id"),
-            ["conv_id", "turn_idx"],
+        index.weights.join(F.broadcast(doc_base), "conv_id")
+        .withColumn(
+            "doc_id", (F.col("base") + F.col("turn_idx")).cast("long")
         )
         .withColumn(
             "bucket", F.shiftright(F.col("doc_id"), bucket_bits).cast("int")
@@ -306,9 +436,19 @@ def build_block_index(
     )
     # one hash shuffle colocates each (term, bucket) group; the in-
     # partition sort makes groups contiguous so the streaming kernel can
-    # encode whole Arrow batches vectorized (no per-group pandas frames)
+    # encode whole Arrow batches vectorized (no per-group pandas frames).
+    # The partition count is EXPLICIT: AQE's size-based coalescing would
+    # squeeze this exchange to ~64MB partitions, capping the Python
+    # encode stage's parallelism far below the executor count (measured:
+    # flat encode time 4 -> 16 cores); the encode kernel wants many
+    # smaller Arrow streams, not few fat ones.
+    spark = w.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism * 4,
+    )
     blocks = (
-        w.repartition("term_id", "bucket")
+        w.repartition(n_parts, "term_id", "bucket")
         .sortWithinPartitions("term_id", "bucket", "doc_id")
         .mapInPandas(_make_stream_block_builder(block_size), schema=BLOCK_SCHEMA)
     )

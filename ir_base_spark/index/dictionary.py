@@ -95,15 +95,95 @@ def assign_term_ids(stats: DataFrame, num_partitions: int = 32) -> DataFrame:
     )
 
 
-def assign_doc_ids(doc_lens: DataFrame, num_partitions: int = 32) -> DataFrame:
-    """Dense doc ids ranked by (conv_id, turn_idx): ascending doc_id IS
+def two_phase_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` under ``order_col`` order,
+    fully distributed: range-partition on the key, window-cumsum within
+    each partition, add #partitions driver offsets. Returns the input
+    columns plus ``out_col`` (sum of all values strictly before this
+    row) and ``_total`` (grand total, same on every row)."""
+    part = df.repartitionByRange(num_partitions, F.col(order_col).asc())
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_pid.withColumn("_cum", F.sum(value_col).over(w))
+    sums = (
+        local.groupBy("_pid").agg(F.sum(value_col).alias("s")).orderBy("_pid").collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sums:
+        offsets[row["_pid"]] = acc
+        acc += row["s"]
+    if not offsets:
+        return local.withColumn(out_col, F.lit(0).cast("long")).withColumn(
+            "_total", F.lit(0).cast("long")
+        ).drop("_pid", "_cum")
+    offs = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return (
+        local.withColumn(
+            out_col,
+            (F.col("_cum") - F.col(value_col) + offs[F.col("_pid")]).cast("long"),
+        )
+        .withColumn("_total", F.lit(acc).cast("long"))
+        .drop("_pid", "_cum")
+    )
+
+
+def conv_doc_base(doc_lens: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """(conv_id, base): per-conversation doc-id base offsets.
+
+    base(c) = Σ over conversations c' < c (string order) of
+    (max(turn_idx)+1), so ``doc_id = base[conv_id] + turn_idx`` is
+    globally ascending in (conv_id, turn_idx) — the stable-ordering
+    contract — WITHOUT ranking every turn. Ids are gapped where turns
+    were dropped (empty/pruned): gaps are free for delta-gap blocks and
+    doc-range buckets; only the ORDER is load-bearing.
+
+    Why this shape at scale: the base table is CONVERSATION-level (orders
+    of magnitude smaller than the turn count), so attaching doc ids to a
+    10^12-row posting stream becomes a broadcast hash join + one integer
+    add — replacing a full sort-merge shuffle of the postings on a fat
+    (conv_id string, turn_idx) key. The cumsum itself is the two-phase
+    range-partitioned pattern (local window cumsum + #partitions driver
+    offsets). At ~10^9+ conversations the base table outgrows broadcast:
+    persist it bucketed by conv_id (or rely on the Iceberg identity
+    partition) and let the join be storage-co-located instead.
+
+    Requires turn_idx >= 0 (schema contract).
+    """
+    ext = doc_lens.groupBy("conv_id").agg(
+        (F.max("turn_idx") + 1).cast("long").alias("_n")
+    )
+    return two_phase_cumsum(
+        ext, "conv_id", "_n", "base", num_partitions=num_partitions
+    ).select("conv_id", "base")
+
+
+def assign_doc_ids(
+    doc_lens: DataFrame,
+    num_partitions: int = 32,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Doc ids ascending in (conv_id, turn_idx): ascending doc_id IS
     the stable turn ordering (BASELINE.json:15), so doc-ordered posting
-    traversal and the (conv_id, turn_idx)-asc tie-break coincide."""
-    return assign_dense_ids(
-        doc_lens,
-        [F.col("conv_id").asc(), F.col("turn_idx").asc()],
-        "doc_id",
-        num_partitions=num_partitions,
+    traversal and the (conv_id, turn_idx)-asc tie-break coincide.
+
+    doc_id = conv base offset + turn_idx (see conv_doc_base): attached
+    by a broadcast join on conv_id — no turn-level shuffle."""
+    b = base if base is not None else conv_doc_base(doc_lens, num_partitions)
+    return (
+        doc_lens.join(F.broadcast(b), "conv_id")
+        .withColumn("doc_id", (F.col("base") + F.col("turn_idx")).cast("long"))
+        .drop("base")
     )
 
 

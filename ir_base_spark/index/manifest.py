@@ -18,10 +18,14 @@ extraction — is committed per partition here:
     stats.json                      pinned corpus constants
                                     (n_docs, avg_doc_len — SURVEY §7.3)
 
-Partition assignment is pmod(xxhash64(conv_id), P) — deterministic under
-restart and independent of input row order; a conversation never splits
-across partitions. At Iceberg scale, stage 0 is replaced by the table's
-own partitioning/manifest metadata (enumerate data files per partition
+Partition assignment is a deterministic conv-id RANGE split balanced by
+raw turn count (conv_partition_map; persisted as conv_parts/) —
+reproducible under restart, independent of input row order, a
+conversation never splits across partitions, and every partition owns a
+CONTIGUOUS doc-id range, so the doc shard doubles as the posting-block
+bucket (zero posting-level shuffle downstream, blocks.encode_shards).
+At Iceberg scale, stage 0 is replaced by the table's own
+partitioning/manifest metadata (enumerate data files per partition
 range instead of rewriting); the per-partition commit protocol is
 unchanged. Missing partitions process in WAVES — one Spark job per wave
 over exactly the missing partitions' files — so restart cost is
@@ -142,13 +146,43 @@ def read_manifest(index_root: str) -> dict[int, PartitionManifest]:
     return out
 
 
+def conv_partition_map(
+    transcripts: DataFrame, num_partitions: int
+) -> DataFrame:
+    """(conv_id, partition_id): deterministic conv-RANGE split balanced
+    by raw turn count.
+
+    Conversations are ordered by conv_id and packed into ``num_partitions``
+    contiguous ranges of ~equal total turns (two-phase distributed prefix
+    sum — no sampling, so the assignment is reproducible under restart,
+    unlike repartitionByRange). Because doc ids ascend in (conv_id,
+    turn_idx), each partition owns a CONTIGUOUS doc-id range: the doc
+    shard IS the posting-block bucket, which is what lets the block build
+    run with zero posting-level shuffle (blocks.encode_shards).
+    """
+    from .dictionary import two_phase_cumsum
+
+    ext = transcripts.groupBy("conv_id").agg(
+        (F.max("turn_idx") + 1).cast("long").alias("_n")
+    )
+    cum = two_phase_cumsum(ext, "conv_id", "_n", "cum_before")
+    pid = F.least(
+        F.lit(num_partitions - 1),
+        F.floor(F.col("cum_before") * num_partitions / F.col("_total")),
+    ).cast("int")
+    return cum.select("conv_id", pid.alias("partition_id"))
+
+
 def _split_input(
     spark: SparkSession,
     transcripts: DataFrame,
     index_root: str,
     num_partitions: int,
 ) -> str:
-    """Stage 0: deterministic conv-hash split, written once, atomically."""
+    """Stage 0: deterministic conv-range split, written once, atomically.
+
+    The conv→partition map is persisted under the index root (it is part
+    of the snapshot: doc-shard boundaries must survive restarts)."""
     parts_dir = os.path.join(index_root, "input_parts")
     marker = os.path.join(index_root, "input_parts.done.json")
     snap = input_snapshot_id(transcripts)
@@ -162,14 +196,23 @@ def _split_input(
             f"{meta.get('snapshot_id')}/{meta.get('num_partitions')} parts; "
             f"got {snap}/{num_partitions}. Use a fresh index_root."
         )
+    cmap_dir = os.path.join(index_root, "conv_parts")
+    tmp_cmap = cmap_dir + "._tmp"
+    if os.path.isdir(tmp_cmap):
+        shutil.rmtree(tmp_cmap)
+    conv_partition_map(transcripts, num_partitions).write.mode(
+        "overwrite"
+    ).parquet(tmp_cmap)
+    if os.path.isdir(cmap_dir):
+        shutil.rmtree(cmap_dir)
+    os.replace(tmp_cmap, cmap_dir)
+    cmap = spark.read.parquet(cmap_dir)
+
     tmp = parts_dir + "._tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     (
-        transcripts.withColumn(
-            "partition_id",
-            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(num_partitions)).cast("int"),
-        )
+        transcripts.join(F.broadcast(cmap), "conv_id")
         .repartition(num_partitions, "partition_id")
         .write.partitionBy("partition_id")
         .mode("overwrite")
@@ -234,15 +277,13 @@ def _build_wave(
     t0 = time.time()
     paths = [os.path.join(parts_root, f"partition_id={pid}") for pid in existing]
     part_df = spark.read.option("basePath", parts_root).parquet(*paths)
+    cmap = spark.read.parquet(os.path.join(index_root, "conv_parts"))
     postings = tokenize_turns(
         part_df.drop("partition_id"),
         ngrams=ngrams,
         min_distinct_terms=min_distinct_terms,
         analyzer=analyzer,
-    ).withColumn(
-        "partition_id",
-        F.pmod(F.xxhash64(F.col("conv_id")), F.lit(num_partitions)).cast("int"),
-    )
+    ).join(F.broadcast(cmap), "conv_id")
     tmp_dir = os.path.join(post_root, "._tmp_wave")
     if os.path.isdir(tmp_dir):
         shutil.rmtree(tmp_dir)
@@ -365,6 +406,60 @@ def resumable_build(
 
 def load_postings(spark: SparkSession, index_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_root, "postings"))
+
+
+def finalize_sharded(
+    spark: SparkSession,
+    index_root: str,
+    scheme: str = "BM25",
+    norm: int = 0,
+    min_df: int = 1,
+    max_df: int | None = None,
+):
+    """finalize_index + persisted shard-aligned artifacts.
+
+    Writes under ``index_root``:
+      terms/    (term, term_id, df, ttf)
+      docs/     (conv_id, turn_idx, doc_len, doc_id)
+      weights/partition_id=<p>/  (term_id, doc_id, weight)
+
+    The weights write is SHUFFLE-FREE: postings are read from their
+    doc-shard partition files, every derivation (dictionary join, doc-id
+    base, shard id) is a broadcast hash join or column arithmetic, and
+    partitionBy(partition_id) just routes each task's rows back to its
+    own shard directory. This is the doc-sharded build phase of SURVEY
+    §7.1 taken to its limit: the ONLY turn-level shuffle in the whole
+    index pipeline is gone; what remains keyed-by-term is the (small,
+    pre-aggregated) dictionary statistics aggregation.
+
+    Returns (InvertedIndex, conv-base DataFrame).
+    """
+    from .dictionary import assign_doc_ids, conv_doc_base
+
+    idx = finalize_index(
+        spark, index_root, scheme=scheme, norm=norm, min_df=min_df, max_df=max_df
+    )
+    base = conv_doc_base(idx.doc_lens).cache()
+    cmap = spark.read.parquet(os.path.join(index_root, "conv_parts"))
+
+    idx.terms.write.mode("overwrite").parquet(os.path.join(index_root, "terms"))
+    docs = assign_doc_ids(idx.doc_lens, base=base)
+    docs.write.mode("overwrite").parquet(os.path.join(index_root, "docs"))
+
+    w = (
+        idx.weights.join(F.broadcast(base), "conv_id")
+        .join(F.broadcast(cmap), "conv_id")
+        .select(
+            "partition_id",
+            "term_id",
+            (F.col("base") + F.col("turn_idx")).cast("long").alias("doc_id"),
+            "weight",
+        )
+    )
+    w.write.partitionBy("partition_id").mode("overwrite").parquet(
+        os.path.join(index_root, "weights")
+    )
+    return idx, base
 
 
 def finalize_index(

@@ -1,0 +1,161 @@
+"""Learning-to-rank data preparation: pair generation + ranking features
+and micro P/R/F1 — the part of the reference's L2R pipeline users touch
+daily (the SGD learners themselves stay out of v0 scope per SURVEY §2.10).
+
+- ranking_pairs: per-query (better, worse) preference pairs by label —
+  _Query.createRankingPairs (/root/reference/src/structures/_Query.java:
+  25-44): every unordered doc pair with differing labels yields exactly
+  one pair. The self-join is per-query quadratic BY DEFINITION of the
+  task; at scale the query group is a bounded candidate list (top-k per
+  query), so the shuffle key is query_id and the blowup is k² per query,
+  never corpus-wide.
+
+- ranking_features: the query-doc feature vector of
+  L2RMetricLearning.genRankingFV (/root/reference/src/Classifier/
+  metricLearning/L2RMetricLearning.java:347-383). The in-scope dims are
+  computed exactly (BoW cosine, same-group flag, length diff, index
+  jaccard, stopword proportion, avgIDF); the four dims whose subsystems
+  are out of v0 scope (topical, sentiwordnet, POS, aspect — reference
+  features 2/6/7/8) are emitted as 0.0 to keep the 10-dim shape, exactly
+  as the reference emits 0 when those components are disabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import text_stats, token_counts
+
+
+def ranking_pairs(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, better_doc, worse_doc): one row per unordered doc pair
+    within a query whose labels differ (higher label = better).
+
+    One shuffle on query_id; the join condition doc_a < doc_b emits each
+    unordered pair once, then better/worse resolve by label comparison.
+    """
+    a = ranked.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_a"),
+        F.col(label_col).alias("label_a"),
+    )
+    b = ranked.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_b"),
+        F.col(label_col).alias("label_b"),
+    )
+    pairs = a.join(b, "query_id").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("label_a") != F.col("label_b"))
+    )
+    return pairs.select(
+        "query_id",
+        F.when(F.col("label_a") > F.col("label_b"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("better_doc"),
+        F.when(F.col("label_a") > F.col("label_b"), F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("worse_doc"),
+    )
+
+
+def ranking_features(
+    documents: DataFrame,
+    labels: DataFrame,
+    query_doc_ids: list[int],
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """(query_doc, doc_id, f0..f9): genRankingFV over the documents table.
+
+    f0 BoW cosine (TF vectors), f1 topical sim (out of scope -> 0),
+    f2 same label (sameProduct analog), f3 |len_q-len_d|/len_q,
+    f4 jaccard over term SETS (Utils.jaccard on sparse indices),
+    f5 senti diff -> 0, f6 POS sim -> 0, f7 aspect sim -> 0,
+    f8 stopword proportion of d, f9 avgIDF of d
+    (Analyzer.java:211-212 ln((N+1)/DF) averaged over d's terms).
+
+    Plan shape: queries are a handful of docs -> their TF vectors
+    broadcast; candidate side aggregates once per (query, doc). All
+    column algebra, one shuffle keyed (query_doc, doc_id).
+    """
+    docs = documents
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    tf = token_counts(docs).withColumn("tf", F.col("tf").cast("double"))
+    tf = tf.cache()
+
+    n_docs = docs.count()
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dlen"),
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("l2"),
+        F.count(F.lit(1)).alias("nterms"),
+    )
+    avg_idf = (
+        tf.join(F.broadcast(dfx), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.avg(F.log(F.lit(float(n_docs) + 1.0) / F.col("df"))).alias("avg_idf")
+        )
+    )
+    stop_prop = text_stats(docs).select("doc_id", "stopword_ratio")
+
+    qtf = tf.filter(F.col("doc_id").isin(query_doc_ids)).select(
+        F.col("doc_id").alias("query_doc"),
+        "term",
+        F.col("tf").alias("qtf"),
+    )
+    qstats = stats.filter(F.col("doc_id").isin(query_doc_ids)).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("dlen").alias("q_dlen"),
+        F.col("l2").alias("q_l2"),
+        F.col("nterms").alias("q_nterms"),
+    )
+    qlab = labels.filter(F.col("doc_id").isin(query_doc_ids)).select(
+        F.col("doc_id").alias("query_doc"), F.col("label").alias("q_label")
+    )
+
+    # sparse dot + index intersection per (query, doc) in one aggregate
+    inter = (
+        tf.join(F.broadcast(qtf), "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", "doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("qtf")).alias("dot"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    out = (
+        inter.join(F.broadcast(qstats), "query_doc")
+        .join(F.broadcast(qlab), "query_doc")
+        .join(stats, "doc_id")
+        .join(avg_idf, "doc_id")
+        .join(stop_prop, "doc_id")
+        .join(labels, "doc_id")
+    )
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return out.select(
+        "query_doc",
+        "doc_id",
+        r6(F.col("dot") / (F.col("l2") * F.col("q_l2"))).alias("bow_cos"),
+        F.lit(0.0).alias("topical_sim"),
+        (F.col("label") == F.col("q_label")).cast("int").alias("same_label"),
+        r6(
+            F.abs(F.col("q_dlen") - F.col("dlen")) / F.col("q_dlen")
+        ).alias("len_diff"),
+        r6(
+            F.col("n_common")
+            / (F.col("nterms") + F.col("q_nterms") - F.col("n_common"))
+        ).alias("jaccard"),
+        F.lit(0.0).alias("senti_diff"),
+        F.lit(0.0).alias("pos_sim"),
+        F.lit(0.0).alias("aspect_sim"),
+        F.col("stopword_ratio").alias("stopword_prop"),
+        r6(F.col("avg_idf")).alias("avg_idf"),
+    )

@@ -134,25 +134,36 @@ def lm_topk(
     query_terms: list[str],
     mu: float = 800.0,
     k: int = 20,
+    background: str = "corpus",
 ) -> DataFrame:
     """Query-likelihood language-model retrieval with Dirichlet smoothing.
 
-    score(q,d) = Σ_t qtf·ln((tf_td + μ·p(t)) / (dl_d + μ)), p(t) =
-    TTF(t)/ΣTTF — the reference's rankChild4StnByLikelihood with the
-    corpus reference model (/root/reference/src/topicmodels/
+    score(q,d) = Σ_t qtf·ln((tf_td + μ·p(t)) / (dl_d + μ)) — the
+    reference's rankChild4StnByLikelihood with the corpus reference
+    model (/root/reference/src/topicmodels/
     languageModelBaseLine.java:41-66,204-238; μ default 800). ALL docs
     are scored (smoothing gives absent terms mass), so the plan is
     doc-lengths × query-terms (broadcast) left-joined with matched TFs.
+
+    background:
+      "corpus"  — p(t) = TTF(t)/ΣTTF (unsmoothed reference model);
+      "add_one" — p(t) = (1+TTF(t))/(ΣTTF+V), the reference's add-one
+      background (_Corpus.getBackgroundProb,
+      /root/reference/src/structures/_Corpus.java:161-177).
     """
     tf = token_counts(documents).withColumn("tf", F.col("tf").cast("double"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    total = tf.agg(F.sum("tf").alias("T"))
-    p = (
-        tf.groupBy("term")
-        .agg(F.sum("tf").alias("ttf"))
-        .crossJoin(F.broadcast(total))
-        .select("term", (F.col("ttf") / F.col("T")).alias("p"))
+    ttf = tf.groupBy("term").agg(F.sum("tf").alias("ttf"))
+    total = ttf.agg(
+        F.sum("ttf").alias("T"), F.count(F.lit(1)).cast("double").alias("V")
     )
+    if background == "add_one":
+        p_expr = (F.lit(1.0) + F.col("ttf")) / (F.col("T") + F.col("V"))
+    elif background == "corpus":
+        p_expr = F.col("ttf") / F.col("T")
+    else:
+        raise ValueError(f"unknown background model: {background}")
+    p = ttf.crossJoin(F.broadcast(total)).select("term", p_expr.alias("p"))
     q = tf.sparkSession.createDataFrame(
         [(t,) for t in query_terms], "term string"
     )
@@ -399,6 +410,91 @@ def quality_score(documents: DataFrame) -> DataFrame:
     # disagree on exact .5 boundaries across engines)
     quality = F.floor(score * 1000000.0 + 0.5) / 1000000.0
     return s.select("doc_id", quality.alias("quality"))
+
+
+def dedup_near(
+    documents: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup removal: LSH candidates → exact-Jaccard verify
+    → survivor set. The composition a training pipeline actually runs.
+
+    Plan: minhash_lsh_candidates prunes to same-bucket pairs (NO cross
+    join anywhere); the verify stage joins each candidate pair's two
+    distinct-shingle arrays (pairs are few — LSH already filtered) and
+    computes exact Jaccard via array_intersect, all codegen. A doc is
+    removed when it has a verified near-dup with a smaller doc_id
+    (min-id survivor rule, the keep_doc_id convention of dedup_exact).
+
+    Output: (doc_id, is_dup, dup_of) — is_dup=1 rows are removable;
+    dup_of is the smallest verified near-dup neighbor below it.
+    """
+    cand = minhash_lsh_candidates(
+        documents, num_hashes=num_hashes, bands=bands, shingle=shingle
+    )
+    sh = documents.select(
+        "doc_id", _shingles(F.col("text"), shingle).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    dup_of = verified.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("dup_of")
+    )
+    return (
+        documents.select("doc_id")
+        .join(dup_of, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def shuffled_sample(documents: DataFrame, n: int = 20) -> DataFrame:
+    """(pos, doc_id): deterministic pseudo-random permutation prefix —
+    the reference's Fisher-Yates corpus shuffle (_Corpus.shuffle,
+    /root/reference/src/structures/_Corpus.java:117-124) re-expressed as
+    a sort by a keyed hash (md5 is engine-portable, so the permutation
+    is reproducible AND SQL-oracle-checkable; rand(seed) would depend on
+    partitioning). Bounded top-n via the window-free rank."""
+    from ..functions.ranking import rank_bounded
+
+    keyed = documents.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    return (
+        rank_bounded(keyed, [F.col("h").asc()], n, rank_name="pos")
+        .select("pos", "doc_id")
+    )
+
+
+def kfold_assign(documents: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, fold): deterministic k-fold split by content-independent
+    id hash — the CV mask array of the reference
+    (/root/reference/src/Classifier/BaseClassifier.java:120-160, whose
+    c.shuffle(k) draws random masks; a keyed hash is the reproducible
+    distributed analog). fold = first 8 md5 hex digits of the id mod k —
+    portable across engines, uniform, and stable under repartitioning."""
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    return documents.select(
+        "doc_id", (h.cast("long") % k).cast("int").alias("fold")
+    )
 
 
 def doc_fingerprint(documents: DataFrame) -> DataFrame:

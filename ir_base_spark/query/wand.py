@@ -252,6 +252,97 @@ def _make_bucket_kernel(queries: list[tuple[str, int, list[tuple[int, float]]]])
     return kernel
 
 
+def _prepare_queries(terms: DataFrame, query_terms: DataFrame):
+    """query_terms ⋈ dictionary → (queries list, sorted distinct term ids);
+    the query set is small by contract (SURVEY §7.1) and rides in the
+    kernel closure."""
+    qt_pd = (
+        query_terms.join(
+            F.broadcast(terms.select("term", "term_id")), "term", "inner"
+        )
+        .select("query_id", "term_id", "qw", "k")
+        .toPandas()
+    )
+    if len(qt_pd) == 0:
+        return [], []
+    queries = [
+        (qid, int(g["k"].iloc[0]), sorted(zip(g["term_id"].astype(int), g["qw"])))
+        for qid, g in qt_pd.groupby("query_id", sort=True)
+    ]
+    return queries, sorted(int(t) for t in set(qt_pd["term_id"]))
+
+
+def wand_topk_sharded(
+    spark,
+    index_root: str,
+    query_terms: DataFrame,
+    terms: DataFrame | None = None,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Block-max WAND over the doc-sharded on-disk block index
+    (blocks.encode_shards layout) — the production batch-query path.
+
+    Each task gets one shard PATH; the kernel reads only the matched
+    terms' blocks via a pyarrow ``term_id in (...)`` predicate (block
+    files are term-sorted with small row groups, so row-group statistics
+    prune most of the file), then runs every query over the shard with
+    the shared decode cache. Matched block bytes never shuffle and never
+    cross the JVM→Python socket: the only rows Spark moves are <= k
+    results per (query, shard). The final merge is the same bounded
+    per-query window + docs join as wand_topk.
+    """
+    import glob as _glob
+    import os as _os
+
+    if terms is None:
+        terms = spark.read.parquet(_os.path.join(index_root, "terms"))
+    if docs is None:
+        docs = spark.read.parquet(_os.path.join(index_root, "docs"))
+    queries, term_ids = _prepare_queries(terms, query_terms)
+    if not queries:
+        return spark.createDataFrame(
+            [],
+            "query_id string, rank int, conv_id string, turn_idx int, score double",
+        )
+    shard_files = sorted(
+        _glob.glob(_os.path.join(index_root, "blocks", "partition_id=*", "*.parquet"))
+    )
+    fdf = spark.createDataFrame(
+        [(p,) for p in shard_files], "path string"
+    ).repartition(max(1, len(shard_files)))
+    bucket_kernel = _make_bucket_kernel(queries)
+    tid_list = list(term_ids)
+
+    def shard_kernel(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                tbl = pq.read_table(
+                    path,
+                    filters=[("term_id", "in", tid_list)],
+                    use_threads=False,
+                )
+                if tbl.num_rows == 0:
+                    continue
+                yield bucket_kernel(tbl.to_pandas())
+
+    local = fdf.mapInPandas(
+        shard_kernel, schema="query_id string, doc_id long, score double, k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    topk = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+    )
+    return (
+        topk.join(docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .select("query_id", "rank", "conv_id", "turn_idx", "score")
+    )
+
+
 def wand_topk(index: BlockIndex, query_terms: DataFrame) -> DataFrame:
     """query_terms(query_id, term, qw, k) → (query_id, rank, conv_id,
     turn_idx, score): the block-max WAND retrieval plan.

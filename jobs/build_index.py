@@ -48,9 +48,8 @@ def main() -> None:
     else:
         transcripts = spark.read.parquet(args.input)
 
-    from ir_base_spark.index.blocks import build_block_index
-    from ir_base_spark.index.dictionary import assign_doc_ids
-    from ir_base_spark.index.manifest import finalize_index, resumable_build
+    from ir_base_spark.index.blocks import encode_shards
+    from ir_base_spark.index.manifest import finalize_sharded, resumable_build
 
     t0 = time.time()
     report = resumable_build(
@@ -62,22 +61,13 @@ def main() -> None:
         analyzer=args.analyzer,
         max_concurrent_jobs=args.concurrency,
     )
-    idx = finalize_index(
+    # shuffle-free artifact write (terms/docs/shard-aligned weights),
+    # then per-shard pyarrow block encode (doc shard == bucket)
+    idx, base = finalize_sharded(
         spark, args.index_root, norm=args.norm,
         min_df=args.min_df, max_df=args.max_df,
     )
-    docs = assign_doc_ids(idx.doc_lens).cache()
-    docs.count()
-    bidx = build_block_index(
-        idx, docs, block_size=args.block_size, bucket_bits=args.bucket_bits
-    )
-    bidx.blocks.write.mode("overwrite").parquet(
-        os.path.join(args.index_root, "blocks")
-    )
-    docs.write.mode("overwrite").parquet(os.path.join(args.index_root, "docs"))
-    idx.terms.write.mode("overwrite").parquet(
-        os.path.join(args.index_root, "terms")
-    )
+    encode_shards(spark, args.index_root, block_size=args.block_size)
 
     print(
         json.dumps(

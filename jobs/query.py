@@ -37,9 +37,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from ir_base_spark.index.blocks import BlockIndex
-    from ir_base_spark.index.build import InvertedIndex
     from ir_base_spark.query.dataframe_bm25 import analyze_query_terms, topk_search
-    from ir_base_spark.query.wand import wand_topk
+    from ir_base_spark.query.wand import wand_topk_sharded
 
     root = args.index_root
     with open(os.path.join(root, "stats.json")) as fh:
@@ -51,17 +50,9 @@ def main() -> None:
 
     t0 = time.time()
     if args.engine == "wand":
-        bidx = BlockIndex(
-            blocks=spark.read.parquet(os.path.join(root, "blocks")),
-            docs=spark.read.parquet(os.path.join(root, "docs")),
-            terms=terms,
-            n_docs=stats["n_docs"],
-            avg_doc_len=stats["avg_doc_len"],
-            ngrams=1,
-            block_size=args.block_size,
-            bucket_bits=args.bucket_bits,
-        )
-        out = wand_topk(bidx, qt)
+        # doc-sharded on-disk block layout (blocks.encode_shards): the
+        # kernel pulls only matched-term row groups per shard
+        out = wand_topk_sharded(spark, root, qt, terms=terms)
     else:
         from ir_base_spark.index.manifest import finalize_index
 

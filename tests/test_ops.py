@@ -108,3 +108,48 @@ def test_ann_lsh_subset_of_bruteforce_ordering(spark):
     approx = [r["vec_id"] for r in ann_lsh_topk(emb, 0, k=10, n_planes=6).collect()]
     # approximate recall: at least half of true top-10 retrieved
     assert len(set(brute) & set(approx)) >= 5
+
+
+def test_dedup_near_end_to_end(spark):
+    from ir_base_spark.ops.textops import dedup_near
+
+    got = {r["doc_id"]: (r["is_dup"], r["dup_of"])
+           for r in dedup_near(_docs(spark), threshold=0.6).collect()}
+    assert len(got) == 6
+    assert got[1] == (1, 0)        # exact dup removed, keeps min id
+    assert got[0][0] == 0          # survivor
+    assert got[2][0] == 1 and got[2][1] == 0   # near dup of 0
+    assert got[4][0] == 0 and got[5][0] == 0   # unrelated survive
+
+
+def test_micro_prf_and_confusion(spark):
+    from ir_base_spark.evaluate import confusion_matrix, micro_prf
+
+    preds = spark.createDataFrame(
+        [(0, 0), (0, 0), (0, 1), (1, 1), (1, 0), (2, 2), (0, 2), (3, 1)],
+        "pred_label int, true_label int",
+    )
+    cm = {(r["pred_label"], r["true_label"]): r["n"]
+          for r in confusion_matrix(preds).collect()}
+    assert cm[(0, 0)] == 2 and cm[(1, 1)] == 1 and cm[(3, 1)] == 1
+    prf = {r["label"]: (r["precision"], r["recall"], r["f1"])
+           for r in micro_prf(preds).collect()}
+    # class 0: predicted 4 times, correct 2; true 3 times
+    assert prf[0][0] == 0.5 and abs(prf[0][1] - 2 / 3) < 1e-6
+    # class 3: predicted once, never true -> P=0, R=0 (zero guard), F1=0
+    assert prf[3] == (0.0, 0.0, 0.0)
+    # class 2: P=1/2... predicted once correct once -> P=1.0; true twice -> R=0.5
+    assert prf[2][0] == 1.0 and prf[2][1] == 0.5
+
+
+def test_ranking_pairs_semantics(spark):
+    from ir_base_spark.ops.l2r import ranking_pairs
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 2), ("q1", 11, 0), ("q1", 12, 2), ("q2", 10, 1), ("q2", 11, 3)],
+        "query_id string, doc_id long, label long",
+    )
+    pairs = {(r["query_id"], r["better_doc"], r["worse_doc"])
+             for r in ranking_pairs(ranked).collect()}
+    # q1: (10,11) and (12,11); 10 vs 12 tie -> no pair. q2: 11 beats 10.
+    assert pairs == {("q1", 10, 11), ("q1", 12, 11), ("q2", 11, 10)}

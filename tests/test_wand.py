@@ -56,3 +56,30 @@ def test_wand_matches_m1_bitwise(spark, fixture_small):
         assert m1[key][0] == wd[key][0]
         assert m1[key][1] == wd[key][1]
         assert abs(m1[key][2] - wd[key][2]) < 1e-12
+
+
+def test_sharded_pipeline_rank_identity(spark, fixture_small, tmp_path):
+    """Full production path: resumable build → sharded finalize (zero
+    posting shuffle) → per-shard pyarrow block encode → sharded WAND.
+    Must be rank-identical to the single-node oracle."""
+    from ir_base_spark.index.blocks import encode_shards
+    from ir_base_spark.index.manifest import finalize_sharded, resumable_build
+    from ir_base_spark.query.wand import wand_topk_sharded
+
+    t = fixture_small.transcripts
+    q = fixture_small.queries
+    oracle_idx = build_oracle_index(_oracle_docs(t))
+    expected = search_all(
+        oracle_idx, list(zip(q["query_id"], q["query_text"], q["k"]))
+    )
+
+    root = str(tmp_path / "sharded")
+    sdf = spark.createDataFrame(t)
+    resumable_build(spark, sdf, root, num_partitions=8)
+    idx, base = finalize_sharded(spark, root)
+    rep = encode_shards(spark, root, block_size=16)
+    assert rep["shards"] >= 1 and rep["blocks"] > 0
+
+    qt = analyze_query_terms(spark, q)
+    got = wand_topk_sharded(spark, root, qt).collect()
+    _compare(got, expected)

@@ -40,10 +40,9 @@ def _ensure_input(n_conversations: int, seed: int = 42) -> str:
 
 def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> None:
     from ir_base_spark.fixtures import make_queries, make_transcripts
-    from ir_base_spark.index.blocks import build_block_index
-    from ir_base_spark.index.dictionary import assign_doc_ids
-    from ir_base_spark.index.manifest import finalize_index, resumable_build
-    from ir_base_spark.query.wand import wand_topk
+    from ir_base_spark.index.blocks import encode_shards
+    from ir_base_spark.index.manifest import finalize_sharded, resumable_build
+    from ir_base_spark.query.wand import wand_topk_sharded
     from ir_base_spark.query.dataframe_bm25 import analyze_query_terms
     from ir_base_spark.session import get_spark
 
@@ -80,44 +79,26 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
         b = time.time() - t0
 
         t0 = time.time()
-        idx = finalize_index(spark, root)
-        # production shape: the finalize artifact is WRITTEN (parallel,
-        # scales), not pinned in JVM cache
-        idx.weights.write.mode("overwrite").parquet(os.path.join(root, "weights"))
-        idx.terms.write.mode("overwrite").parquet(os.path.join(root, "terms"))
+        # production shape: every finalize artifact (terms, docs, shard-
+        # aligned weights) is WRITTEN — shuffle-free, see finalize_sharded
+        idx, base = finalize_sharded(spark, root)
         f = time.time() - t0
 
         t0 = time.time()
-        docs = assign_doc_ids(idx.doc_lens)
-        docs.write.mode("overwrite").parquet(os.path.join(root, "docs"))
-        docs = spark.read.parquet(os.path.join(root, "docs"))
-        bidx = build_block_index(idx, docs)
-        bidx.blocks.write.mode("overwrite").parquet(os.path.join(root, "blocks"))
+        encode_shards(spark, root)
         k = time.time() - t0
-        from ir_base_spark.index.blocks import BlockIndex
-
-        bidx = BlockIndex(
-            blocks=spark.read.parquet(os.path.join(root, "blocks")),
-            docs=docs,
-            terms=idx.terms,
-            n_docs=idx.n_docs,
-            avg_doc_len=idx.avg_doc_len,
-            ngrams=1,
-            block_size=bidx.block_size,
-            bucket_bits=bidx.bucket_bits,
-        )
-        return b, f, k, idx, docs, bidx, root
+        return b, f, k, idx, root
 
     # warm-up pass: python-worker spawn, codegen/JIT, page cache — then
     # measure the steady-state pipeline (throughput criterion)
     import shutil as _sh
 
-    b0, f0, k0, idx0, docs0, bidx0, root0 = one_pipeline()
+    b0, f0, k0, idx0, root0 = one_pipeline()
     idx0.terms.unpersist()
     idx0.doc_lens.unpersist()
     _sh.rmtree(root0, ignore_errors=True)
 
-    build_sec, finalize_sec, block_sec, idx, docs, bidx, root = one_pipeline()
+    build_sec, finalize_sec, block_sec, idx, root = one_pipeline()
 
     qpdf = make_queries(
         make_transcripts(n_conversations=200), n_queries=n_queries
@@ -125,7 +106,9 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
     qt = analyze_query_terms(spark, qpdf).cache()
     qt.count()
     t0 = time.time()
-    wand_topk(bidx, qt).write.format("noop").mode("overwrite").save()
+    wand_topk_sharded(spark, root, qt).write.format("noop").mode(
+        "overwrite"
+    ).save()
     wand_sec = time.time() - t0
 
     pipeline_sec = build_sec + finalize_sec + block_sec
