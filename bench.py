@@ -104,10 +104,16 @@ def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     qt.count()
 
     t0 = time.time()
-    wand_topk_sharded(spark, root, qt).write.format("noop").mode(
+    wand_topk_sharded(spark, root, qt, algo="wand").write.format("noop").mode(
         "overwrite"
     ).save()
     out["wand_queries"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    wand_topk_sharded(spark, root, qt, algo="taat").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["taat_queries"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     topk_search(idx, qt).write.format("noop").mode("overwrite").save()

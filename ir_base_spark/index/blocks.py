@@ -212,12 +212,22 @@ def encode_shards(
                 t = tbl["term_id"].to_numpy().astype(np.int64, copy=False)
                 d = tbl["doc_id"].to_numpy().astype(np.int64, copy=False)
                 wgt = tbl["weight"].to_numpy().astype(np.float64, copy=False)
-                order = np.lexsort((d, t))
+                # finalize_sharded writes each shard pre-sorted; a file
+                # split/merge could break that, so verify (two vector
+                # compares) and lexsort only as the fallback
+                same_t = t[1:] == t[:-1]
+                is_sorted = bool(
+                    np.all(t[1:] >= t[:-1])
+                    and np.all(d[1:][same_t] > d[:-1][same_t])
+                ) if t.shape[0] > 1 else True
+                if not is_sorted:
+                    order = np.lexsort((d, t))
+                    t, d, wgt = t[order], d[order], wgt[order]
                 enc = _encode_sorted_run(
-                    t[order],
+                    t,
                     np.full(t.shape, pid, dtype=np.int64),
-                    d[order],
-                    wgt[order],
+                    d,
+                    wgt,
                     block_size,
                 )
                 out_dir = os.path.join(blocks_root, f"partition_id={int(pid)}")

@@ -456,6 +456,11 @@ def finalize_sharded(
             "weight",
         )
     )
+    # partition-LOCAL Tungsten sort (no shuffle): the block encoder wants
+    # (term_id, doc_id) order, and sorting here (JVM, scales with tasks)
+    # beats a numpy lexsort in every encode kernel (memory-bus-contended
+    # when many kernels run); sorted term_id also RLEs well in parquet
+    w = w.sortWithinPartitions("partition_id", "term_id", "doc_id")
     w.write.partitionBy("partition_id").mode("overwrite").parquet(
         os.path.join(index_root, "weights")
     )

@@ -217,9 +217,88 @@ def _wand_bucket(lists: list[_ListIter], k: int) -> list[tuple[int, float]]:
     return out
 
 
-def _make_bucket_kernel(queries: list[tuple[str, int, list[tuple[int, float]]]]):
-    """Kernel factory: one applyInPandas group per BUCKET; every query
-    runs over the bucket's blocks with a shared decode cache."""
+def _taat_bucket(
+    arrays: dict[int, tuple],
+    queries: list[tuple[str, int, list[tuple[int, float]]]],
+    out: dict,
+) -> None:
+    """Vectorized term-at-a-time scorer over one bucket's decoded lists.
+
+    Exact (no pruning) and rank-identical to WAND/M1: contributions
+    accumulate in ascending term_id order per doc (each vectorized
+    ``acc[idx] += qw*w`` pass IS one term's addend, and terms are
+    visited sorted), and top-k selection uses the same
+    (score desc, doc_id asc) tie-break. A dense accumulator spans only
+    the bucket's local doc range (bounded by the doc-shard width), so
+    memory is O(bucket), never O(corpus). ~100x less Python-interpreter
+    work than DAAT WAND for large query batches — the batch path; WAND
+    remains the selective/interactive path (it decodes fewer blocks).
+    """
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    lo = None
+    hi = None
+    for tid, (firsts, lasts, maxws, gaps, wbytes) in arrays.items():
+        ids_parts = []
+        w_parts = []
+        for bi in range(len(firsts)):
+            ids, ws = decode_postings_block(firsts[bi], gaps[bi], wbytes[bi])
+            ids_parts.append(ids)
+            w_parts.append(ws)
+        ids = np.concatenate(ids_parts)
+        ws = np.concatenate(w_parts)
+        decoded[tid] = (ids, ws)
+        tlo = int(ids[0])
+        thi = int(ids[-1])
+        lo = tlo if lo is None or tlo < lo else lo
+        hi = thi if hi is None or thi > hi else hi
+    if lo is None:
+        return
+    width = hi - lo + 1
+    acc = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for query_id, k, terms in queries:
+        matched = [
+            (tid, qw) for tid, qw in terms if tid in decoded
+        ]  # terms already term_id-ascending
+        if not matched:
+            continue
+        acc.fill(0.0)
+        touched.fill(False)
+        for tid, qw in matched:
+            ids, ws = decoded[tid]
+            idx = ids - lo
+            acc[idx] += qw * ws
+            touched[idx] = True
+        cand = np.flatnonzero(touched)
+        scores = acc[cand]
+        if len(cand) > k:
+            part = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
+            # among the k largest by score, ties must keep SMALLEST doc:
+            # argpartition's boundary choice is arbitrary, so re-select
+            # exactly: sort all candidates tied with the boundary score
+            thresh = scores[part].min()
+            keep = np.flatnonzero(scores >= thresh)
+            order = np.lexsort((cand[keep], -scores[keep]))[:k]
+            sel = keep[order]
+        else:
+            order = np.lexsort((cand, -scores))
+            sel = order
+        for i in sel:
+            out["query_id"].append(query_id)
+            out["doc_id"].append(int(cand[i]) + lo)
+            out["score"].append(float(scores[i]))
+            out["k"].append(k)
+
+
+def _make_bucket_kernel(
+    queries: list[tuple[str, int, list[tuple[int, float]]]],
+    algo: str = "wand",
+):
+    """Kernel factory: one group per BUCKET; every query runs over the
+    bucket's blocks. algo="wand": DAAT block-max pruning with a shared
+    decode cache (selective queries decode few blocks); algo="taat":
+    vectorized term-at-a-time full evaluation (large batches — decode
+    once, no per-posting Python). Both are rank-identical."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         arrays: dict[int, tuple] = {}
@@ -232,8 +311,11 @@ def _make_bucket_kernel(queries: list[tuple[str, int, list[tuple[int, float]]]])
                 g["doc_gaps"].tolist(),
                 g["weights"].tolist(),
             )
-        cache: dict = {}
         out = {"query_id": [], "doc_id": [], "score": [], "k": []}
+        if algo == "taat":
+            _taat_bucket(arrays, queries, out)
+            return pd.DataFrame(out)
+        cache: dict = {}
         for query_id, k, terms in queries:
             lists = [
                 _ListIter(tid, qw, *arrays[tid], cache=cache)
@@ -278,6 +360,7 @@ def wand_topk_sharded(
     query_terms: DataFrame,
     terms: DataFrame | None = None,
     docs: DataFrame | None = None,
+    algo: str = "wand",
 ) -> DataFrame:
     """Block-max WAND over the doc-sharded on-disk block index
     (blocks.encode_shards layout) — the production batch-query path.
@@ -310,7 +393,12 @@ def wand_topk_sharded(
     fdf = spark.createDataFrame(
         [(p,) for p in shard_files], "path string"
     ).repartition(max(1, len(shard_files)))
-    bucket_kernel = _make_bucket_kernel(queries)
+    if algo == "auto":
+        # DAAT block-max WAND wins when pruning can skip most blocks
+        # (few selective queries); a large batch touches every block
+        # anyway, so the vectorized TAAT pass wins by interpreter cost
+        algo = "taat" if len(queries) >= 16 else "wand"
+    bucket_kernel = _make_bucket_kernel(queries, algo=algo)
     tid_list = list(term_ids)
 
     def shard_kernel(batches):

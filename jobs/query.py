@@ -25,6 +25,11 @@ def main() -> None:
     ap.add_argument("--index-root", required=True)
     ap.add_argument("--queries", required=True)
     ap.add_argument("--engine", default="wand", choices=["wand", "dataframe"])
+    ap.add_argument(
+        "--algo", default="auto", choices=["auto", "wand", "taat"],
+        help="block-index scorer: DAAT block-max WAND (selective), "
+        "vectorized TAAT (batches), or auto by query count",
+    )
     ap.add_argument("--analyzer", default="reference", choices=["reference", "simple"])
     ap.add_argument("--output", default=None)
     ap.add_argument("--block-size", type=int, default=128)
@@ -52,7 +57,7 @@ def main() -> None:
     if args.engine == "wand":
         # doc-sharded on-disk block layout (blocks.encode_shards): the
         # kernel pulls only matched-term row groups per shard
-        out = wand_topk_sharded(spark, root, qt, terms=terms)
+        out = wand_topk_sharded(spark, root, qt, terms=terms, algo=args.algo)
     else:
         from ir_base_spark.index.manifest import finalize_index
 

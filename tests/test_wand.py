@@ -83,3 +83,28 @@ def test_sharded_pipeline_rank_identity(spark, fixture_small, tmp_path):
     qt = analyze_query_terms(spark, q)
     got = wand_topk_sharded(spark, root, qt).collect()
     _compare(got, expected)
+
+
+def test_taat_matches_wand_sharded(spark, fixture_small, tmp_path):
+    """The vectorized TAAT batch kernel is rank- AND score-identical to
+    DAAT block-max WAND over the same sharded index."""
+    from ir_base_spark.index.blocks import encode_shards
+    from ir_base_spark.index.manifest import finalize_sharded, resumable_build
+    from ir_base_spark.query.wand import wand_topk_sharded
+
+    t = fixture_small.transcripts
+    q = fixture_small.queries
+    root = str(tmp_path / "taat")
+    resumable_build(spark, spark.createDataFrame(t), root, num_partitions=4)
+    finalize_sharded(spark, root)
+    encode_shards(spark, root, block_size=16)
+    qt = analyze_query_terms(spark, q)
+
+    wd = {(r["query_id"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+          for r in wand_topk_sharded(spark, root, qt, algo="wand").collect()}
+    ta = {(r["query_id"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+          for r in wand_topk_sharded(spark, root, qt, algo="taat").collect()}
+    assert set(wd) == set(ta)
+    for key in wd:
+        assert wd[key][:2] == ta[key][:2], key
+        assert abs(wd[key][2] - ta[key][2]) < 1e-12, key

@@ -106,10 +106,15 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
     qt = analyze_query_terms(spark, qpdf).cache()
     qt.count()
     t0 = time.time()
-    wand_topk_sharded(spark, root, qt).write.format("noop").mode(
+    wand_topk_sharded(spark, root, qt, algo="wand").write.format("noop").mode(
         "overwrite"
     ).save()
     wand_sec = time.time() - t0
+    t0 = time.time()
+    wand_topk_sharded(spark, root, qt, algo="taat").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    taat_sec = time.time() - t0
 
     pipeline_sec = build_sec + finalize_sec + block_sec
     print(
@@ -123,6 +128,7 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
                 "block_sec": round(block_sec, 3),
                 "pipeline_sec": round(pipeline_sec, 3),
                 "wand_sec": round(wand_sec, 3),
+                "taat_sec": round(taat_sec, 3),
                 "turns_per_sec": round(n_turns / pipeline_sec, 1),
             }
         )
@@ -189,6 +195,11 @@ def main() -> None:
     eff_pipeline = (results[lo]["pipeline_sec"] / results[hi]["pipeline_sec"]) / ratio
     eff_build = (results[lo]["build_sec"] / results[hi]["build_sec"]) / ratio
     eff_wand = (results[lo]["wand_sec"] / results[hi]["wand_sec"]) / ratio
+    eff_taat = (
+        (results[lo]["taat_sec"] / results[hi]["taat_sec"]) / ratio
+        if results[lo].get("taat_sec")
+        else 0.0
+    )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     payload = {
@@ -196,6 +207,7 @@ def main() -> None:
         "efficiency_pipeline": round(eff_pipeline, 3),
         "efficiency_build": round(eff_build, 3),
         "efficiency_wand_queries": round(eff_wand, 3),
+        "efficiency_taat_queries": round(eff_taat, 3),
         "convs": args.convs,
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
@@ -227,6 +239,12 @@ def main() -> None:
         + " | ".join(str(results[c]["wand_sec"]) for c in cores)
         + f" | {eff_wand:.3f} |"
     )
+    if results[lo].get("taat_sec"):
+        md.append(
+            "| 100-query vectorized TAAT batch | "
+            + " | ".join(str(results[c]["taat_sec"]) for c in cores)
+            + f" | {eff_taat:.3f} |"
+        )
     md += [
         "",
         "Throughput: "
@@ -239,11 +257,15 @@ def main() -> None:
         f"**{eff_pipeline:.3f}** (target >= 0.8; efficiency = "
         f"(T_{lo} / T_{hi}) / {ratio:g}).",
         "",
-        "Caveats: local mode shares one JVM/driver; shuffle is on local disk;",
-        "both runs pay identical fixed costs (session init is excluded by",
-        "timing inside the session). At cluster scale the same plan shapes",
-        "apply with network shuffle — partitioning strategy is documented in",
-        "SURVEY.md §7 and ir_base_spark/index/*.py docstrings.",
+        "Caveats: local mode shares one JVM/driver; spark.local.dir and the",
+        "index root live on /dev/shm tmpfs (the box's disk is a shared",
+        "bottleneck a multi-node cluster does not have, so tmpfs isolates",
+        "CPU scaling — note both parallelism levels then share one memory",
+        "bus, which UNDER-states multi-node scaling for bandwidth-heavy",
+        "phases). Both runs pay identical fixed costs (session init is",
+        "excluded by timing inside the session). At cluster scale the same",
+        "plan shapes apply with network shuffle — partitioning strategy is",
+        "documented in SURVEY.md §7 and ir_base_spark/index/*.py docstrings.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(md) + "\n")
