@@ -248,16 +248,22 @@ def encode_shards(
                             [os.path.getsize(out_path)], dtype="int64"
                         ),
                         "wall_sec": pd.Series([_t.time() - t0], dtype="float64"),
+                        "presorted": pd.Series(
+                            [1 if is_sorted else 0], dtype="int32"
+                        ),
                     }
                 )
 
     report = fdf.mapInPandas(
-        kernel, "partition_id int, n_blocks long, bytes long, wall_sec double"
+        kernel,
+        "partition_id int, n_blocks long, bytes long, wall_sec double, "
+        "presorted int",
     ).collect()
     return {
         "shards": len(report),
         "blocks": int(sum(r["n_blocks"] for r in report)),
         "bytes": int(sum(r["bytes"] for r in report)),
+        "presorted_shards": int(sum(r["presorted"] for r in report)),
         "block_size": block_size,
     }
 

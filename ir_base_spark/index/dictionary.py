@@ -54,13 +54,16 @@ def assign_dense_ids(
     total order (unique key) for determinism.
     """
     # the ranked frame is traversed twice (sizes collect + final select);
-    # cache the (small) input so upstream aggs don't recompute
+    # cache the input (so upstream aggs don't recompute) AND the ranked
+    # frame itself: repartitionByRange samples its boundaries, and the
+    # two traversals must observe the SAME partition assignment or the
+    # per-partition offsets are applied to the wrong partitions
     df = df.cache()
     ordered = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
     # local 1-based rank within each range partition
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = with_pid.withColumn("_rk", F.row_number().over(w))
+    local = with_pid.withColumn("_rk", F.row_number().over(w)).cache()
     sizes = (
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
         .orderBy("_pid")
@@ -106,7 +109,14 @@ def two_phase_cumsum(
     fully distributed: range-partition on the key, window-cumsum within
     each partition, add #partitions driver offsets. Returns the input
     columns plus ``out_col`` (sum of all values strictly before this
-    row) and ``_total`` (grand total, same on every row)."""
+    row) and ``_total`` (grand total, same on every row).
+
+    The partitioned+ranked frame is CACHED before the offsets collect:
+    the offsets job and the returned plan must observe the SAME range
+    boundaries, and repartitionByRange samples its boundaries — two
+    separate evaluations could disagree, silently producing overlapping
+    id ranges (observed as duplicate doc ids at 3.4M docs before this
+    pin)."""
     part = df.repartitionByRange(num_partitions, F.col(order_col).asc())
     with_pid = part.withColumn("_pid", F.spark_partition_id())
     w = (
@@ -114,7 +124,7 @@ def two_phase_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = with_pid.withColumn("_cum", F.sum(value_col).over(w))
+    local = with_pid.withColumn("_cum", F.sum(value_col).over(w)).cache()
     sums = (
         local.groupBy("_pid").agg(F.sum(value_col).alias("s")).orderBy("_pid").collect()
     )

@@ -79,6 +79,9 @@ def test_sharded_pipeline_rank_identity(spark, fixture_small, tmp_path):
     idx, base = finalize_sharded(spark, root)
     rep = encode_shards(spark, root, block_size=16)
     assert rep["shards"] >= 1 and rep["blocks"] > 0
+    # doc-id ranges must never overlap (two_phase_cumsum offset pin)
+    docs = spark.read.parquet(root + "/docs")
+    assert docs.count() == docs.select("doc_id").distinct().count()
 
     qt = analyze_query_terms(spark, q)
     got = wand_topk_sharded(spark, root, qt).collect()
