@@ -216,6 +216,28 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes conditional log-probs ln(δ+tf_wc)−ln(tot_c+V·δ) for
+    observed (label, term) pairs (NaiveBayes.train, src/Classifier/
+    supervised/NaiveBayes.java:70-88)."""
+    from ir_base_spark.ops.nb import naive_bayes_train
+
+    priors, cond, _v = naive_bayes_train(
+        _docs(spark, sf_dir), _labels(spark, sf_dir)
+    )
+    return cond.select(
+        F.col("label").cast("int").alias("label"),
+        "term",
+        (F.floor(F.col("logp") * 1000000.0 + 0.5) / 1000000.0).alias("logp6"),
+    )
+
+
+def q_nb_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ir_base_spark.ops.nb import naive_bayes_predict
+
+    return naive_bayes_predict(_docs(spark, sf_dir), _labels(spark, sf_dir))
+
+
 def _event_rankings(spark: SparkSession, sf_dir: str, max_user: int) -> DataFrame:
     """Shared L2R input: (query=event_type, doc=user_id, label=user_id%4)."""
     return (
@@ -515,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_features": q_ranking_features,
         "confusion_matrix": q_confusion_matrix,
         "prf1_eval": q_prf1_eval,
+        "nb_model": q_nb_model,
+        "nb_predict": q_nb_predict,
         "dedup_near": q_dedup_near,
         "shuffled_sample": q_shuffled_sample,
         "kfold_counts": q_kfold_counts,
@@ -917,6 +941,46 @@ SELECT label,
        floor(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END
              * 1000000.0 + 0.5) / 1000000.0 AS f1
 FROM pr
+""",
+        "nb_model": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS V FROM tf),
+lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+cw AS (SELECT label, term, sum(tf.tf) AS cnt
+       FROM tf JOIN lab USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT label, sum(cnt) AS tot FROM cw GROUP BY 1)
+SELECT CAST(cw.label AS INT) AS label, cw.term,
+       floor((ln(0.1 + cw.cnt) - ln(tot.tot + v.V * 0.1)) * 1000000.0 + 0.5)
+           / 1000000.0 AS logp6
+FROM cw JOIN tot USING (label) CROSS JOIN v
+""",
+        "nb_predict": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS V FROM tf),
+lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+cw AS (SELECT label, term, sum(tf.tf) AS cnt
+       FROM tf JOIN lab USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT label, sum(cnt) AS tot FROM cw GROUP BY 1),
+pri AS (SELECT label, ln(count(*) + 0.1) AS log_prior FROM lab GROUP BY label),
+pc AS (
+  SELECT tf.doc_id, p.label,
+         floor((p.log_prior
+                + sum(tf.tf * (ln(0.1 + coalesce(cw.cnt, 0))
+                               - ln(t.tot + v.V * 0.1)))) * 1000000.0 + 0.5)
+             / 1000000.0 AS score6
+  FROM tf
+  CROSS JOIN pri p
+  JOIN tot t ON t.label = p.label
+  CROSS JOIN v
+  LEFT JOIN cw ON cw.label = p.label AND cw.term = tf.term
+  GROUP BY tf.doc_id, p.label, p.log_prior, t.tot, v.V
+)
+SELECT doc_id, CAST(label AS INT) AS pred_label, score6
+FROM pc
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score6 DESC, label ASC) = 1
 """,
         "shuffled_sample": """
 SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS INT)

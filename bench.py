@@ -39,6 +39,10 @@ ENTRY_BENCH_QUERIES = [
     "text_stats",
     "quality_score",
     "ann_cosine_topk",
+    "ann_lsh_topk_batch",
+    "dedup_near",
+    "prf1_eval",
+    "ranking_features",
     "pricing_summary",
     "revenue_by_nation",
     "top_customers_per_nation",

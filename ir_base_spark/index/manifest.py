@@ -459,11 +459,22 @@ def finalize_sharded(
     # partition-LOCAL Tungsten sort (no shuffle): the block encoder wants
     # (term_id, doc_id) order, and sorting here (JVM, scales with tasks)
     # beats a numpy lexsort in every encode kernel (memory-bus-contended
-    # when many kernels run); sorted term_id also RLEs well in parquet
+    # when many kernels run); sorted term_id also RLEs well in parquet.
+    # One READ TASK per postings file for this job: the default 128MB
+    # split would break a shard across two tasks → two sorted-but-
+    # overlapping weights files → the encoder's presort fast path can't
+    # engage. (At cluster scale: write the weights as one file per
+    # shard via the table format's file-size target instead.)
     w = w.sortWithinPartitions("partition_id", "term_id", "doc_id")
-    w.write.partitionBy("partition_id").mode("overwrite").parquet(
-        os.path.join(index_root, "weights")
-    )
+    conf = spark.conf
+    prev = conf.get("spark.sql.files.maxPartitionBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", str(4 << 30))
+    try:
+        w.write.partitionBy("partition_id").mode("overwrite").parquet(
+            os.path.join(index_root, "weights")
+        )
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", prev)
     return idx, base
 
 

@@ -439,25 +439,15 @@ def wand_topk(index: BlockIndex, query_terms: DataFrame) -> DataFrame:
     UDF closure); block bytes shuffle once per bucket, deduplicated on
     the distinct query term_ids.
     """
-    qt_pd = (
-        query_terms.join(
-            F.broadcast(index.terms.select("term", "term_id")), "term", "inner"
-        )
-        .select("query_id", "term_id", "qw", "k")
-        .toPandas()
-    )
-    if len(qt_pd) == 0:
+    queries, tids = _prepare_queries(index.terms, query_terms)
+    if not queries:
         spark = index.blocks.sparkSession
         return spark.createDataFrame(
             [],
             "query_id string, rank int, conv_id string, turn_idx int, score double",
         )
-    queries = [
-        (qid, int(g["k"].iloc[0]), sorted(zip(g["term_id"].astype(int), g["qw"])))
-        for qid, g in qt_pd.groupby("query_id", sort=True)
-    ]
     term_ids = index.blocks.sparkSession.createDataFrame(
-        [(int(t),) for t in sorted(set(qt_pd["term_id"]))], "term_id long"
+        [(int(t),) for t in tids], "term_id long"
     )
     matched = index.blocks.join(F.broadcast(term_ids), "term_id", "left_semi")
 

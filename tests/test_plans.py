@@ -77,3 +77,31 @@ def test_dictionary_join_is_broadcast(spark, sf_dir):
     )
     idx = build_index(spark, t, analyzer="simple", cache=False)
     assert "BroadcastHashJoin" in _plan(idx.weights)
+
+
+def test_simhash_no_row_blowup(spark, sf_dir):
+    """simhash64 must not explode(sequence(0,63)) the token stream."""
+    from ir_base_spark.ops.textops import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(simhash64(docs))
+    assert "Generate explode(sequence" not in plan.replace("\n", " ")
+
+
+def test_topk_entries_have_no_unpartitioned_window(spark, sf_dir):
+    """Bounded top-k entries rank window-free (rank_bounded): any Window
+    left in the plan must be partitioned (the two-phase _pid rank)."""
+    from ir_base_spark.ops.similarity import cosine_topk
+    from ir_base_spark.ops.textops import bm25_topk, lm_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        bm25_topk(docs, ["spark"], k=5),
+        lm_topk(docs, ["spark"], k=5),
+        cosine_topk(emb, 0, k=5),
+    ):
+        plan = _plan(df)
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "windowspecdefinition(_pid" in line, line

@@ -145,6 +145,13 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--n-queries", type=int, default=100)
+    ap.add_argument(
+        "--repeat", type=int, default=1,
+        help="run each parallelism level N times (alternating order) and "
+        "keep the least-noise observation: the repeat with the minimal "
+        "pipeline time per level, plus per-phase minima for the "
+        "independent query phases. Noise on a shared box only ADDS time.",
+    )
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--child-cores", type=int)
     ap.add_argument("--input")
@@ -156,7 +163,10 @@ def main() -> None:
 
     input_path = _ensure_input(args.convs)
     results = {}
-    for c in [int(x) for x in args.cores.split(",")]:
+    core_list = [int(x) for x in args.cores.split(",")]
+    schedule = [c for _ in range(args.repeat) for c in core_list]
+    all_runs: dict[int, list[dict]] = {c: [] for c in core_list}
+    for c in schedule:
         # py4j occasionally loses a response under heavy local-mode load
         # (driver blocks on a socket read with an idle JVM) - bound each
         # child and retry once
@@ -187,7 +197,21 @@ def main() -> None:
             print(proc.stderr[-2000:], file=sys.stderr)
         if not line:
             raise RuntimeError(f"child cores={c} failed twice")
-        results[c] = json.loads(line[-1].removeprefix("CHILD_RESULT "))
+        all_runs[c].append(json.loads(line[-1].removeprefix("CHILD_RESULT ")))
+
+    for c in core_list:
+        runs = all_runs[c]
+        best = min(runs, key=lambda r: r["pipeline_sec"])
+        best = dict(best)
+        # query phases are independent of the pipeline phases: keep their
+        # own minima across repeats
+        best["wand_sec"] = min(r["wand_sec"] for r in runs)
+        if any(r.get("taat_sec") for r in runs):
+            best["taat_sec"] = min(
+                r["taat_sec"] for r in runs if r.get("taat_sec")
+            )
+        best["n_repeats"] = len(runs)
+        results[c] = best
 
     cores = sorted(results)
     lo, hi = cores[0], cores[-1]
@@ -246,6 +270,11 @@ def main() -> None:
             + f" | {eff_taat:.3f} |"
         )
     md += [
+        "",
+        f"Repeats: each level ran {args.repeat}x (alternating order); the "
+        "reported pipeline phases come from the repeat with the minimal "
+        "pipeline time per level, query phases are per-phase minima — "
+        "least-noise observations (noise on a shared box only adds time).",
         "",
         "Throughput: "
         + ", ".join(
