@@ -74,8 +74,8 @@ def _cached_transcripts(spark, n_conversations: int, seed: int = 42):
 
 def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     from ir_base_spark.fixtures import make_transcripts, make_queries
-    from ir_base_spark.index.blocks import encode_shards
-    from ir_base_spark.index.manifest import finalize_sharded, resumable_build
+    from ir_base_spark.index.blocks import encode_shards_from_postings
+    from ir_base_spark.index.manifest import finalize_lite, resumable_build
     from ir_base_spark.query.dataframe_bm25 import analyze_query_terms, topk_search
     from ir_base_spark.query.wand import wand_topk_sharded
 
@@ -93,11 +93,11 @@ def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     out["_turns_per_sec"] = round(n_turns / out["index_build"], 1)
 
     t0 = time.time()
-    idx, base = finalize_sharded(spark, root)
+    idx, base = finalize_lite(spark, root)
     out["index_finalize"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    encode_shards(spark, root)
+    encode_shards_from_postings(spark, root)
     out["block_build"] = round(time.time() - t0, 3)
 
     qpdf = make_queries(

@@ -268,6 +268,176 @@ def encode_shards(
     }
 
 
+# per-worker memo for the small lookup tables the direct encoder needs
+# (terms dictionary, conv bases, corpus stats) — loaded once per worker
+# process, reused across its tasks
+_SIDECAR_CACHE: dict = {}
+
+
+def _load_sidecars(index_root: str):
+    key = index_root
+    hit = _SIDECAR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import json as _json
+
+    import pandas as pd_
+    import pyarrow.parquet as pq
+
+    terms = pq.read_table(
+        os.path.join(index_root, "terms"), columns=["term", "term_id", "df"],
+        use_threads=False,
+    ).to_pandas()
+    term_id = pd_.Series(
+        terms["term_id"].to_numpy(np.int64), index=terms["term"]
+    )
+    term_df = pd_.Series(
+        terms["df"].to_numpy(np.float64), index=terms["term_id"].to_numpy()
+    )
+    b = pq.read_table(
+        os.path.join(index_root, "base"), use_threads=False
+    ).to_pandas()
+    base = pd_.Series(b["base"].to_numpy(np.int64), index=b["conv_id"])
+    with open(os.path.join(index_root, "stats.json")) as fh:
+        stats = _json.load(fh)
+    hit = (term_id, term_df, base, stats)
+    if len(_SIDECAR_CACHE) > 4:
+        _SIDECAR_CACHE.clear()
+    _SIDECAR_CACHE[key] = hit
+    return hit
+
+
+def _bm25_weight_np(tf, dl, df, n_docs: float, avg: float):
+    """numpy BM25, op-for-op the Catalyst expression in weights.py
+    (same association order → bit-identical doubles)."""
+    from .weights import B, K1
+
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5))
+    nlen = dl / avg
+    return idf * (tf * (K1 + 1.0) / (K1 * ((1.0 - B) + B * nlen) + tf))
+
+
+def encode_shards_from_postings(
+    spark,
+    index_root: str,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    scheme: str = "BM25",
+) -> dict:
+    """Blocks straight from the tokenize output — the posting stream is
+    materialized ONCE in the whole pipeline.
+
+    Requires manifest.finalize_lite (terms/, base/, stats.json). Each
+    task reads its shard's raw postings parquet with pyarrow, maps
+    term→(id, df) and conv→doc-id base through per-worker-cached
+    sidecar tables (C-level hash joins on pandas Index — the dictionary
+    is ~MBs, the conv base is conversation-level), recomputes doc_len
+    over RETAINED terms (exactly build_index's pruning semantics; equal
+    to the stored length when nothing is pruned), computes the scheme
+    weight vectorized (bit-identical to weights.set_feature_values),
+    sorts (term_id, doc_id) and writes the shard's block file. Replaces
+    the 2× posting materialization (weights artifact) of the
+    finalize_sharded path — at 14.3M turns that artifact write was the
+    single largest finalize cost at every parallelism level.
+    """
+    import glob
+
+    if scheme.upper() != "BM25":
+        raise ValueError(
+            "direct path supports per-posting schemes; use "
+            "finalize_sharded + encode_shards for others"
+        )
+    post_root = os.path.join(index_root, "postings")
+    blocks_root = os.path.join(index_root, "blocks")
+    os.makedirs(blocks_root, exist_ok=True)
+    shard_dirs = sorted(glob.glob(os.path.join(post_root, "partition_id=*")))
+    rows = [(int(d.rsplit("=", 1)[1]), d) for d in shard_dirs]
+    fdf = spark.createDataFrame(rows, "partition_id int, path string").repartition(
+        max(1, len(rows))
+    )
+
+    def kernel(batches):
+        import time as _t
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = _blocks_arrow_schema()
+        for pdf in batches:
+            for pid, path in zip(pdf["partition_id"], pdf["path"]):
+                t0 = _t.time()
+                term_id_map, term_df, base_map, stats = _load_sidecars(
+                    index_root
+                )
+                tbl = pq.read_table(
+                    path,
+                    columns=["conv_id", "turn_idx", "term", "tf"],
+                    use_threads=False,
+                )
+                p = tbl.to_pandas()
+                tid = p["term"].map(term_id_map)
+                kept = tid.notna().to_numpy()
+                tid = tid.to_numpy(dtype="float64")[kept].astype(np.int64)
+                conv = p["conv_id"].to_numpy()[kept]
+                turn = p["turn_idx"].to_numpy(np.int64)[kept]
+                tf = p["tf"].to_numpy(np.float64)[kept]
+                doc = (
+                    pd.Series(conv).map(base_map).to_numpy(np.int64) + turn
+                )
+                # doc_len over retained terms (pruning-consistent):
+                # dense local doc index -> one add.at pass
+                lo = doc.min() if doc.size else 0
+                dl_acc = np.zeros(
+                    (int(doc.max()) - int(lo) + 1) if doc.size else 0,
+                    dtype=np.float64,
+                )
+                np.add.at(dl_acc, doc - lo, tf)
+                dl = dl_acc[doc - lo]
+                df_arr = term_df.reindex(tid).to_numpy(np.float64)
+                w = _bm25_weight_np(
+                    tf, dl, df_arr,
+                    float(stats["n_docs"]), float(stats["avg_doc_len"]),
+                )
+                order = np.lexsort((doc, tid))
+                enc = _encode_sorted_run(
+                    tid[order],
+                    np.full(tid.shape, pid, dtype=np.int64),
+                    doc[order],
+                    w[order],
+                    block_size,
+                )
+                out_dir = os.path.join(blocks_root, f"partition_id={int(pid)}")
+                os.makedirs(out_dir, exist_ok=True)
+                out_path = os.path.join(out_dir, "blocks.parquet")
+                tmp = out_path + f".tmp{os.getpid()}"
+                pq.write_table(
+                    pa.Table.from_pandas(enc, schema=schema, preserve_index=False),
+                    tmp,
+                    row_group_size=4096,
+                )
+                os.replace(tmp, out_path)
+                yield pd.DataFrame(
+                    {
+                        "partition_id": pd.Series([int(pid)], dtype="int32"),
+                        "n_blocks": pd.Series([len(enc)], dtype="int64"),
+                        "bytes": pd.Series(
+                            [os.path.getsize(out_path)], dtype="int64"
+                        ),
+                        "wall_sec": pd.Series([_t.time() - t0], dtype="float64"),
+                    }
+                )
+
+    report = fdf.mapInPandas(
+        kernel,
+        "partition_id int, n_blocks long, bytes long, wall_sec double",
+    ).collect()
+    return {
+        "shards": len(report),
+        "blocks": int(sum(r["n_blocks"] for r in report)),
+        "bytes": int(sum(r["bytes"] for r in report)),
+        "block_size": block_size,
+    }
+
+
 def load_sharded_blocks(spark, index_root: str):
     """blocks DataFrame (BLOCK_SCHEMA + partition_id) from encode_shards
     output; bucket == partition_id == doc shard."""

@@ -408,6 +408,36 @@ def load_postings(spark: SparkSession, index_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_root, "postings"))
 
 
+def finalize_lite(
+    spark: SparkSession,
+    index_root: str,
+    scheme: str = "BM25",
+    min_df: int = 1,
+    max_df: int | None = None,
+):
+    """Metadata-only finalize for the direct postings→blocks path
+    (blocks.encode_shards_from_postings): writes terms/, docs/, base/
+    and stats.json but NO weights artifact — the posting stream is
+    materialized exactly once (the tokenize output); weights are
+    computed vectorized inside the shard encoder from (tf, doc_len,
+    df, N, avgdl). Supports per-posting schemes (norm=0); per-doc
+    norms use finalize_sharded + encode_shards instead.
+
+    Returns (InvertedIndex, base DataFrame).
+    """
+    from .dictionary import assign_doc_ids, conv_doc_base
+
+    idx = finalize_index(
+        spark, index_root, scheme=scheme, norm=0, min_df=min_df, max_df=max_df
+    )
+    base = conv_doc_base(idx.doc_lens).cache()
+    idx.terms.write.mode("overwrite").parquet(os.path.join(index_root, "terms"))
+    base.write.mode("overwrite").parquet(os.path.join(index_root, "base"))
+    docs = assign_doc_ids(idx.doc_lens, base=base)
+    docs.write.mode("overwrite").parquet(os.path.join(index_root, "docs"))
+    return idx, base
+
+
 def finalize_sharded(
     spark: SparkSession,
     index_root: str,

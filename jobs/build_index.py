@@ -48,8 +48,12 @@ def main() -> None:
     else:
         transcripts = spark.read.parquet(args.input)
 
-    from ir_base_spark.index.blocks import encode_shards
-    from ir_base_spark.index.manifest import finalize_sharded, resumable_build
+    from ir_base_spark.index.blocks import encode_shards, encode_shards_from_postings
+    from ir_base_spark.index.manifest import (
+        finalize_lite,
+        finalize_sharded,
+        resumable_build,
+    )
 
     t0 = time.time()
     report = resumable_build(
@@ -61,13 +65,23 @@ def main() -> None:
         analyzer=args.analyzer,
         max_concurrent_jobs=args.concurrency,
     )
-    # shuffle-free artifact write (terms/docs/shard-aligned weights),
-    # then per-shard pyarrow block encode (doc shard == bucket)
-    idx, base = finalize_sharded(
-        spark, args.index_root, norm=args.norm,
-        min_df=args.min_df, max_df=args.max_df,
-    )
-    encode_shards(spark, args.index_root, block_size=args.block_size)
+    if args.norm == 0:
+        # single posting materialization: metadata finalize + blocks
+        # straight from the tokenize output
+        idx, base = finalize_lite(
+            spark, args.index_root, min_df=args.min_df, max_df=args.max_df
+        )
+        encode_shards_from_postings(
+            spark, args.index_root, block_size=args.block_size
+        )
+    else:
+        # per-doc norms need the doc-global weight pass: shard-aligned
+        # weights artifact, then the presorted shard encode
+        idx, base = finalize_sharded(
+            spark, args.index_root, norm=args.norm,
+            min_df=args.min_df, max_df=args.max_df,
+        )
+        encode_shards(spark, args.index_root, block_size=args.block_size)
 
     print(
         json.dumps(

@@ -111,3 +111,64 @@ def test_taat_matches_wand_sharded(spark, fixture_small, tmp_path):
     for key in wd:
         assert wd[key][:2] == ta[key][:2], key
         assert abs(wd[key][2] - ta[key][2]) < 1e-12, key
+
+
+def test_direct_postings_blocks_identical(spark, fixture_small, tmp_path):
+    """encode_shards_from_postings (no weights artifact) must produce a
+    block index rank-identical to the oracle AND byte-identical block
+    payloads vs the finalize_sharded+encode_shards path."""
+    from ir_base_spark.index.blocks import (
+        encode_shards,
+        encode_shards_from_postings,
+    )
+    from ir_base_spark.index.manifest import (
+        finalize_lite,
+        finalize_sharded,
+        resumable_build,
+    )
+    from ir_base_spark.query.wand import wand_topk_sharded
+
+    t = fixture_small.transcripts
+    q = fixture_small.queries
+    oracle_idx = build_oracle_index(_oracle_docs(t))
+    expected = search_all(
+        oracle_idx, list(zip(q["query_id"], q["query_text"], q["k"]))
+    )
+    sdf = spark.createDataFrame(t)
+
+    root_a = str(tmp_path / "via_weights")
+    resumable_build(spark, sdf, root_a, num_partitions=4)
+    finalize_sharded(spark, root_a)
+    encode_shards(spark, root_a, block_size=16)
+
+    root_b = str(tmp_path / "direct")
+    resumable_build(spark, sdf, root_b, num_partitions=4)
+    finalize_lite(spark, root_b)
+    encode_shards_from_postings(spark, root_b, block_size=16)
+
+    cols = ["term_id", "bucket", "block_seq", "n", "first_doc", "last_doc",
+            "doc_gaps"]
+    ba = sorted(
+        (tuple(r) for r in spark.read.parquet(root_a + "/blocks")
+         .select(*cols).collect())
+    )
+    bb = sorted(
+        (tuple(r) for r in spark.read.parquet(root_b + "/blocks")
+         .select(*cols).collect())
+    )
+    assert ba == bb  # identical structure + byte-identical gap payloads
+    # weight payloads agree to the last ulp of Math.log vs numpy log
+    import numpy as np
+
+    wa = {(r["term_id"], r["bucket"], r["block_seq"]): r["weights"]
+          for r in spark.read.parquet(root_a + "/blocks").collect()}
+    wb = {(r["term_id"], r["bucket"], r["block_seq"]): r["weights"]
+          for r in spark.read.parquet(root_b + "/blocks").collect()}
+    for key, buf in wa.items():
+        va = np.frombuffer(buf, dtype=np.float64)
+        vb = np.frombuffer(wb[key], dtype=np.float64)
+        assert np.abs(va - vb).max(initial=0.0) < 1e-12, key
+
+    qt = analyze_query_terms(spark, q)
+    got = wand_topk_sharded(spark, root_b, qt).collect()
+    _compare(got, expected)

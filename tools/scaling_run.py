@@ -40,8 +40,8 @@ def _ensure_input(n_conversations: int, seed: int = 42) -> str:
 
 def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> None:
     from ir_base_spark.fixtures import make_queries, make_transcripts
-    from ir_base_spark.index.blocks import encode_shards
-    from ir_base_spark.index.manifest import finalize_sharded, resumable_build
+    from ir_base_spark.index.blocks import encode_shards_from_postings
+    from ir_base_spark.index.manifest import finalize_lite, resumable_build
     from ir_base_spark.query.wand import wand_topk_sharded
     from ir_base_spark.query.dataframe_bm25 import analyze_query_terms
     from ir_base_spark.session import get_spark
@@ -79,13 +79,14 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
         b = time.time() - t0
 
         t0 = time.time()
-        # production shape: every finalize artifact (terms, docs, shard-
-        # aligned weights) is WRITTEN — shuffle-free, see finalize_sharded
-        idx, base = finalize_sharded(spark, root)
+        # metadata finalize (terms/docs/base/stats written); the posting
+        # stream is materialized exactly once — blocks build straight
+        # from the tokenize output (no weights artifact)
+        idx, base = finalize_lite(spark, root)
         f = time.time() - t0
 
         t0 = time.time()
-        encode_shards(spark, root)
+        encode_shards_from_postings(spark, root)
         k = time.time() - t0
         return b, f, k, idx, root
 
