@@ -275,32 +275,33 @@ _SIDECAR_CACHE: dict = {}
 
 
 def _load_sidecars(index_root: str):
+    """(terms value-set Arrow array, aligned term_id/df numpy, conv
+    value-set Arrow array, aligned base numpy, stats). Lookups against
+    these run through pyarrow ``index_in`` — C++ hash joins, the term
+    and conv strings never become Python objects."""
     key = index_root
     hit = _SIDECAR_CACHE.get(key)
     if hit is not None:
         return hit
     import json as _json
 
-    import pandas as pd_
     import pyarrow.parquet as pq
 
     terms = pq.read_table(
         os.path.join(index_root, "terms"), columns=["term", "term_id", "df"],
         use_threads=False,
-    ).to_pandas()
-    term_id = pd_.Series(
-        terms["term_id"].to_numpy(np.int64), index=terms["term"]
-    )
-    term_df = pd_.Series(
-        terms["df"].to_numpy(np.float64), index=terms["term_id"].to_numpy()
-    )
+    ).combine_chunks()
+    term_set = terms["term"].chunk(0)
+    term_ids = terms["term_id"].to_numpy().astype(np.int64, copy=False)
+    term_dfs = terms["df"].to_numpy().astype(np.float64)
     b = pq.read_table(
         os.path.join(index_root, "base"), use_threads=False
-    ).to_pandas()
-    base = pd_.Series(b["base"].to_numpy(np.int64), index=b["conv_id"])
+    ).combine_chunks()
+    conv_set = b["conv_id"].chunk(0)
+    bases = b["base"].to_numpy().astype(np.int64, copy=False)
     with open(os.path.join(index_root, "stats.json")) as fh:
         stats = _json.load(fh)
-    hit = (term_id, term_df, base, stats)
+    hit = (term_set, term_ids, term_dfs, conv_set, bases, stats)
     if len(_SIDECAR_CACHE) > 4:
         _SIDECAR_CACHE.clear()
     _SIDECAR_CACHE[key] = hit
@@ -362,27 +363,35 @@ def encode_shards_from_postings(
         import pyarrow.parquet as pq
 
         schema = _blocks_arrow_schema()
+        import pyarrow.compute as pc
+
         for pdf in batches:
             for pid, path in zip(pdf["partition_id"], pdf["path"]):
                 t0 = _t.time()
-                term_id_map, term_df, base_map, stats = _load_sidecars(
-                    index_root
+                term_set, term_ids, term_dfs, conv_set, bases, stats = (
+                    _load_sidecars(index_root)
                 )
                 tbl = pq.read_table(
                     path,
                     columns=["conv_id", "turn_idx", "term", "tf"],
                     use_threads=False,
                 )
-                p = tbl.to_pandas()
-                tid = p["term"].map(term_id_map)
-                kept = tid.notna().to_numpy()
-                tid = tid.to_numpy(dtype="float64")[kept].astype(np.int64)
-                conv = p["conv_id"].to_numpy()[kept]
-                turn = p["turn_idx"].to_numpy(np.int64)[kept]
-                tf = p["tf"].to_numpy(np.float64)[kept]
-                doc = (
-                    pd.Series(conv).map(base_map).to_numpy(np.int64) + turn
+                # dictionary semi-join in C++: position of each posting's
+                # term in the terms value set (null = pruned/unknown)
+                pos = pc.index_in(tbl["term"], value_set=term_set)
+                kept = pc.is_valid(pos)
+                tbl = tbl.filter(kept)
+                pos_np = pc.drop_null(pos).to_numpy().astype(np.int64)
+                tid = term_ids[pos_np]
+                df_arr = term_dfs[pos_np]
+                cpos = (
+                    pc.index_in(tbl["conv_id"], value_set=conv_set)
+                    .to_numpy()
+                    .astype(np.int64)
                 )
+                turn = tbl["turn_idx"].to_numpy().astype(np.int64, copy=False)
+                tf = tbl["tf"].to_numpy().astype(np.float64, copy=False)
+                doc = bases[cpos] + turn
                 # doc_len over retained terms (pruning-consistent):
                 # dense local doc index -> one add.at pass
                 lo = doc.min() if doc.size else 0
@@ -392,7 +401,6 @@ def encode_shards_from_postings(
                 )
                 np.add.at(dl_acc, doc - lo, tf)
                 dl = dl_acc[doc - lo]
-                df_arr = term_df.reindex(tid).to_numpy(np.float64)
                 w = _bm25_weight_np(
                     tf, dl, df_arr,
                     float(stats["n_docs"]), float(stats["avg_doc_len"]),
