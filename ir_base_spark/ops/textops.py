@@ -431,6 +431,14 @@ def dedup_near(
 
     Output: (doc_id, is_dup, dup_of) — is_dup=1 rows are removable;
     dup_of is the smallest verified near-dup neighbor below it.
+
+    Open scale note: on a near-dup-HEAVY corpus the candidate pair set
+    itself is quadratic in cluster size (inherent to pairwise LSH); the
+    production mitigation is the standard one — keep only the
+    (min-bucket-doc, other) pairs per band instead of all same-bucket
+    pairs, which this op does NOT yet do. Verified fine at gate scale;
+    measured pathological on the sf0.1 synthetic corpus (dup-cluster
+    rich by construction).
     """
     cand = minhash_lsh_candidates(
         documents, num_hashes=num_hashes, bands=bands, shingle=shingle
