@@ -61,29 +61,45 @@ BLOCK_SCHEMA = (
 
 # ---------------------------------------------------------------- varbyte
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte (7-bit groups, MSB=continuation) encoder."""
+def _varbyte_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte (7-bit groups, MSB=continuation) encoder.
+
+    Returns (byte array, per-value byte counts) — callers slice the byte
+    array by offsets without materializing intermediate ``bytes``.
+    """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp >>= np.uint64(7)
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.uint8)
+    tmp = v >> np.uint64(7)
+    nbytes = np.ones(v.shape, dtype=np.uint8)  # varbyte of uint64 <= 10 B
     while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
+        nbytes += (tmp > 0)
         tmp >>= np.uint64(7)
-    del nbits
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    starts = np.empty(v.shape, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    total = int(starts[-1]) + int(nbytes[-1])
+    # every byte slot is written exactly once across the plane loop below
+    out = np.empty(total, dtype=np.uint8)
     max_b = int(nbytes.max())
-    for j in range(max_b):
+    # byte plane 0 covers EVERY value (delta gaps are overwhelmingly
+    # 1-byte): write it without the boolean gathers the generic plane
+    # loop needs — those full-size mask copies were ~40% of encode time
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+        (nbytes > 1).view(np.uint8) << 7
+    )
+    for j in range(1, max_b):
         mask = nbytes > j
         pos = starts[mask] + j
         byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[pos] = byte | cont
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encoder → ``bytes`` (see _varbyte_encode_arr)."""
+    out, _ = _varbyte_encode_arr(values)
     return out.tobytes()
 
 
@@ -199,10 +215,8 @@ def encode_shards(
     def kernel(batches):
         import time as _t
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        schema = _blocks_arrow_schema()
         for pdf in batches:
             for pid, path in zip(pdf["partition_id"], pdf["path"]):
                 t0 = _t.time()
@@ -223,27 +237,17 @@ def encode_shards(
                 if not is_sorted:
                     order = np.lexsort((d, t))
                     t, d, wgt = t[order], d[order], wgt[order]
-                enc = _encode_sorted_run(
-                    t,
-                    np.full(t.shape, pid, dtype=np.int64),
-                    d,
-                    wgt,
-                    block_size,
-                )
+                enc = _encode_sorted_run_arrow(t, int(pid), d, wgt, block_size)
                 out_dir = os.path.join(blocks_root, f"partition_id={int(pid)}")
                 os.makedirs(out_dir, exist_ok=True)
                 out_path = os.path.join(out_dir, "blocks.parquet")
                 tmp = out_path + f".tmp{os.getpid()}"
-                pq.write_table(
-                    pa.Table.from_pandas(enc, schema=schema, preserve_index=False),
-                    tmp,
-                    row_group_size=4096,
-                )
+                pq.write_table(enc, tmp, row_group_size=4096)
                 os.replace(tmp, out_path)
                 yield pd.DataFrame(
                     {
                         "partition_id": pd.Series([int(pid)], dtype="int32"),
-                        "n_blocks": pd.Series([len(enc)], dtype="int64"),
+                        "n_blocks": pd.Series([enc.num_rows], dtype="int64"),
                         "bytes": pd.Series(
                             [os.path.getsize(out_path)], dtype="int64"
                         ),
@@ -274,12 +278,30 @@ def encode_shards(
 _SIDECAR_CACHE: dict = {}
 
 
+def _sidecar_token(index_root: str) -> tuple:
+    """Per-build invalidation token: stats.json identity + newest mtime
+    under terms/ and base/. Spark reuses Python workers across jobs, so
+    a re-finalized index_root MUST miss the worker-local cache — keying
+    on the path alone would silently encode blocks against stale
+    sidecars (wrong term ids/weights with no error)."""
+    parts = []
+    st = os.stat(os.path.join(index_root, "stats.json"))
+    parts.append((st.st_mtime_ns, st.st_size))
+    for sub in ("terms", "base"):
+        d = os.path.join(index_root, sub)
+        newest = 0
+        for name in os.listdir(d):
+            newest = max(newest, os.stat(os.path.join(d, name)).st_mtime_ns)
+        parts.append(newest)
+    return tuple(parts)
+
+
 def _load_sidecars(index_root: str):
     """(terms value-set Arrow array, aligned term_id/df numpy, conv
     value-set Arrow array, aligned base numpy, stats). Lookups against
     these run through pyarrow ``index_in`` — C++ hash joins, the term
     and conv strings never become Python objects."""
-    key = index_root
+    key = (index_root, _sidecar_token(index_root))
     hit = _SIDECAR_CACHE.get(key)
     if hit is not None:
         return hit
@@ -301,7 +323,12 @@ def _load_sidecars(index_root: str):
     bases = b["base"].to_numpy().astype(np.int64, copy=False)
     with open(os.path.join(index_root, "stats.json")) as fh:
         stats = _json.load(fh)
-    hit = (term_set, term_ids, term_dfs, conv_set, bases, stats)
+    # per-term BM25 IDF precomputed ONCE per worker on the dictionary
+    # domain (same inputs + op order as the per-posting expression →
+    # bit-identical after the gather)
+    n_docs = float(stats["n_docs"])
+    term_idf = np.log((n_docs - term_dfs + 0.5) / (term_dfs + 0.5))
+    hit = (term_set, term_ids, term_dfs, conv_set, bases, stats, term_idf)
     if len(_SIDECAR_CACHE) > 4:
         _SIDECAR_CACHE.clear()
     _SIDECAR_CACHE[key] = hit
@@ -360,89 +387,152 @@ def encode_shards_from_postings(
         import time as _t
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        schema = _blocks_arrow_schema()
-        import pyarrow.compute as pc
+        def positions_in(arr, value_set):
+            """Position of each element in ``value_set`` (null = absent).
+
+            Dictionary-aware: when the parquet column is dictionary-
+            encoded (read_dictionary), the C++ hash join runs over the
+            UNIQUE values only and fans out with one integer ``take`` —
+            on a posting stream with ~10-100x value repetition this cuts
+            both the hash-probe work and the string materialization that
+            made the old per-row index_in a flat, bandwidth-bound term.
+            """
+            if isinstance(arr, pa.DictionaryArray):
+                dpos = pc.index_in(arr.dictionary, value_set=value_set)
+                return dpos.take(arr.indices)
+            return pc.index_in(arr, value_set=value_set)
 
         for pdf in batches:
             for pid, path in zip(pdf["partition_id"], pdf["path"]):
                 t0 = _t.time()
-                term_set, term_ids, term_dfs, conv_set, bases, stats = (
-                    _load_sidecars(index_root)
-                )
+                (term_set, term_ids, term_dfs, conv_set, bases, stats,
+                 term_idf) = _load_sidecars(index_root)
                 tbl = pq.read_table(
                     path,
                     columns=["conv_id", "turn_idx", "term", "tf"],
                     use_threads=False,
-                )
-                # dictionary semi-join in C++: position of each posting's
-                # term in the terms value set (null = pruned/unknown)
-                pos = pc.index_in(tbl["term"], value_set=term_set)
-                kept = pc.is_valid(pos)
-                tbl = tbl.filter(kept)
-                pos_np = pc.drop_null(pos).to_numpy().astype(np.int64)
-                tid = term_ids[pos_np]
-                df_arr = term_dfs[pos_np]
-                cpos = (
-                    pc.index_in(tbl["conv_id"], value_set=conv_set)
-                    .to_numpy()
-                    .astype(np.int64)
-                )
-                turn = tbl["turn_idx"].to_numpy().astype(np.int64, copy=False)
-                tf = tbl["tf"].to_numpy().astype(np.float64, copy=False)
-                doc = bases[cpos] + turn
-                # doc_len over retained terms (pruning-consistent):
-                # dense local doc index -> one add.at pass
-                lo = doc.min() if doc.size else 0
-                dl_acc = np.zeros(
-                    (int(doc.max()) - int(lo) + 1) if doc.size else 0,
-                    dtype=np.float64,
-                )
-                np.add.at(dl_acc, doc - lo, tf)
-                dl = dl_acc[doc - lo]
-                w = _bm25_weight_np(
-                    tf, dl, df_arr,
-                    float(stats["n_docs"]), float(stats["avg_doc_len"]),
-                )
-                order = np.lexsort((doc, tid))
-                enc = _encode_sorted_run(
-                    tid[order],
-                    np.full(tid.shape, pid, dtype=np.int64),
-                    doc[order],
-                    w[order],
-                    block_size,
-                )
+                    read_dictionary=["conv_id", "term"],
+                ).combine_chunks()
+                t_read = _t.time()
+                if tbl.num_rows == 0:
+                    enc = _blocks_arrow_schema().empty_table()
+                    tid = doc = w = None
+                else:
+                    # dictionary semi-join in C++: position of each
+                    # posting's term in the terms value set (null =
+                    # pruned/unknown)
+                    pos = positions_in(tbl.column("term").chunk(0), term_set)
+                    # positions stay int32 (half the gather-index traffic;
+                    # numpy fancy indexing takes int32 indices directly)
+                    pos_np = pc.fill_null(pos, -1).to_numpy()
+                    cpos_arr = positions_in(
+                        tbl.column("conv_id").chunk(0), conv_set
+                    )
+                    cpos = pc.fill_null(cpos_arr, -1).to_numpy()
+                    turn = tbl.column("turn_idx").chunk(0).to_numpy()
+                    tf = tbl.column("tf").chunk(0).to_numpy().astype(
+                        np.float64, copy=False
+                    )
+                    keep = pos_np >= 0
+                    if not keep.all():
+                        pos_np = pos_np[keep]
+                        cpos = cpos[keep]
+                        turn = turn[keep]
+                        tf = tf[keep]
+                    # invariant: every retained posting's conversation has
+                    # a base entry — fail LOUDLY rather than let a null
+                    # position corrupt doc ids downstream
+                    if cpos.size and cpos.min() < 0:
+                        raise RuntimeError(
+                            f"conv_id missing from base sidecar in {path}; "
+                            "index_root sidecars are stale or mismatched"
+                        )
+                    tid = term_ids[pos_np]
+                    doc = bases[cpos] + turn
+                    # doc_len over retained terms (pruning-consistent):
+                    # dense local doc index -> one bincount pass
+                    lo = int(doc.min()) if doc.size else 0
+                    span = (int(doc.max()) - lo + 1) if doc.size else 0
+                    rel = doc - lo
+                    dl_acc = np.bincount(rel, weights=tf, minlength=span)
+                    # BM25, factored onto the small domains: IDF is per
+                    # TERM (sidecar-precomputed), the saturation
+                    # denominator is per DOC — both gathered, keeping the
+                    # exact op/association order of weights.py's Catalyst
+                    # expression (bit-identical; only the domain the ops
+                    # run over shrinks ~30x)
+                    from .weights import B as _B, K1 as _K1
+
+                    avg = float(stats["avg_doc_len"])
+                    denom_acc = _K1 * ((1.0 - _B) + _B * (dl_acc / avg))
+                    w = term_idf[pos_np] * (
+                        tf * (_K1 + 1.0) / (denom_acc[rel] + tf)
+                    )
+                t_map = _t.time()
+                if tid is not None and tid.size:
+                    # (term_id, doc) is unique per shard, so the composite
+                    # single int64 key sorts with ONE argsort pass instead
+                    # of lexsort's two stable mergesorts
+                    tmax = int(tid.max())
+                    if (tmax + 1) * span < (1 << 62):
+                        order = np.argsort(tid * span + rel)
+                    else:
+                        order = np.lexsort((doc, tid))
+                    t_sort = _t.time()
+                    enc = _encode_sorted_run_arrow(
+                        tid[order], int(pid), doc[order], w[order], block_size
+                    )
+                elif tid is not None:
+                    t_sort = _t.time()
+                    enc = _blocks_arrow_schema().empty_table()
+                else:
+                    t_sort = t_map
+                t_enc = _t.time()
                 out_dir = os.path.join(blocks_root, f"partition_id={int(pid)}")
                 os.makedirs(out_dir, exist_ok=True)
                 out_path = os.path.join(out_dir, "blocks.parquet")
                 tmp = out_path + f".tmp{os.getpid()}"
-                pq.write_table(
-                    pa.Table.from_pandas(enc, schema=schema, preserve_index=False),
-                    tmp,
-                    row_group_size=4096,
-                )
+                pq.write_table(enc, tmp, row_group_size=4096)
                 os.replace(tmp, out_path)
+                t_write = _t.time()
                 yield pd.DataFrame(
                     {
                         "partition_id": pd.Series([int(pid)], dtype="int32"),
-                        "n_blocks": pd.Series([len(enc)], dtype="int64"),
+                        "n_blocks": pd.Series([enc.num_rows], dtype="int64"),
                         "bytes": pd.Series(
                             [os.path.getsize(out_path)], dtype="int64"
                         ),
-                        "wall_sec": pd.Series([_t.time() - t0], dtype="float64"),
+                        "wall_sec": pd.Series([t_write - t0], dtype="float64"),
+                        "read_sec": pd.Series([t_read - t0], dtype="float64"),
+                        "map_sec": pd.Series([t_map - t_read], dtype="float64"),
+                        "sort_sec": pd.Series([t_sort - t_map], dtype="float64"),
+                        "encode_sec": pd.Series([t_enc - t_sort], dtype="float64"),
+                        "write_sec": pd.Series([t_write - t_enc], dtype="float64"),
                     }
                 )
 
     report = fdf.mapInPandas(
         kernel,
-        "partition_id int, n_blocks long, bytes long, wall_sec double",
+        "partition_id int, n_blocks long, bytes long, wall_sec double, "
+        "read_sec double, map_sec double, sort_sec double, "
+        "encode_sec double, write_sec double",
     ).collect()
+    phases = {
+        ph: round(sum(r[f"{ph}_sec"] for r in report), 3)
+        for ph in ("read", "map", "sort", "encode", "write")
+    }
     return {
         "shards": len(report),
         "blocks": int(sum(r["n_blocks"] for r in report)),
         "bytes": int(sum(r["bytes"] for r in report)),
         "block_size": block_size,
+        "phase_task_sec": phases,
+        "max_shard_wall_sec": round(
+            max((r["wall_sec"] for r in report), default=0.0), 3
+        ),
     }
 
 
@@ -475,6 +565,59 @@ def _varbyte_nbytes(v: np.ndarray) -> np.ndarray:
     return nbytes
 
 
+def _block_layout(
+    term_id: np.ndarray,
+    bucket: np.ndarray,
+    doc_id: np.ndarray,
+    weight: np.ndarray,
+    block_size: int,
+):
+    """Shared block-splitting + varbyte pass for the two encoders.
+
+    Input arrays are sorted by (term_id, bucket, doc_id) and contain only
+    COMPLETE (term, bucket) groups. Returns (starts, ends, block_seq,
+    max_w, gap_bytes ndarray, per-posting byte offsets) — blocks tile the
+    run contiguously (ends[i] == starts[i+1]), so both the gap buffer and
+    the weight buffer slice by offsets with no per-block copies.
+    """
+    n = doc_id.shape[0]
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    np.logical_or(
+        term_id[1:] != term_id[:-1], bucket[1:] != bucket[:-1], out=new_group[1:]
+    )
+    # in-place passes (the shard kernels run many of these concurrently;
+    # every avoided temporary is real memory-bus headroom)
+    pos_in_group = np.arange(n, dtype=np.int64)
+    group_start = np.where(new_group, pos_in_group, 0)
+    np.maximum.accumulate(group_start, out=group_start)
+    pos_in_group -= group_start
+    del group_start
+    if block_size & (block_size - 1) == 0:
+        block_start_mask = (pos_in_group & (block_size - 1)) == 0
+    else:
+        block_start_mask = (pos_in_group % block_size) == 0
+    starts = np.flatnonzero(block_start_mask)
+    ends = np.empty(starts.shape, dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = n
+
+    # delta-gap with a 0 at every block start (first_doc carried absolutely)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(doc_id[1:], doc_id[:-1], out=gaps[1:], casting="unsafe")
+    gaps[starts] = 0
+
+    # one varbyte pass over the whole run
+    buf, nbytes = _varbyte_encode_arr(gaps)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offs[1:])
+
+    max_w = np.maximum.reduceat(weight, starts)
+    block_seq = (pos_in_group[starts] // block_size).astype(np.int32)
+    return starts, ends, block_seq, max_w, buf, offs
+
+
 def _encode_sorted_run(
     term_id: np.ndarray,
     bucket: np.ndarray,
@@ -482,13 +625,9 @@ def _encode_sorted_run(
     weight: np.ndarray,
     block_size: int,
 ) -> pd.DataFrame:
-    """Vectorized multi-group multi-block encoder.
-
-    Input arrays are sorted by (term_id, bucket, doc_id) and contain only
-    COMPLETE (term, bucket) groups. One varbyte pass encodes every block
-    of every group; per-block rows are produced with slicing only — no
-    per-group pandas frames (that per-group overhead dominated the old
-    applyInPandas builder at ~10^5 groups per partition).
+    """Vectorized multi-group multi-block encoder → pandas (the Arrow-
+    socket streaming path of build_block_index; the on-disk shard paths
+    use _encode_sorted_run_arrow, which never materializes Python bytes).
     """
     n = doc_id.shape[0]
     if n == 0:
@@ -505,35 +644,11 @@ def _encode_sorted_run(
                 "weights": pd.Series([], dtype="object"),
             }
         )
-    new_group = np.empty(n, dtype=bool)
-    new_group[0] = True
-    np.logical_or(
-        term_id[1:] != term_id[:-1], bucket[1:] != bucket[:-1], out=new_group[1:]
+    starts, ends, block_seq, max_w, buf_arr, offs = _block_layout(
+        term_id, bucket, doc_id, weight, block_size
     )
-    group_start = np.maximum.accumulate(np.where(new_group, np.arange(n), 0))
-    pos_in_group = np.arange(n) - group_start
-    block_start_mask = (pos_in_group % block_size) == 0
-    starts = np.flatnonzero(block_start_mask)
-    ends = np.empty(starts.shape, dtype=np.int64)
-    ends[:-1] = starts[1:]
-    ends[-1] = n
-
-    # delta-gap with a 0 at every block start (first_doc carried absolutely)
-    gaps = np.empty(n, dtype=np.uint64)
-    gaps[0] = 0
-    np.subtract(doc_id[1:], doc_id[:-1], out=gaps[1:], casting="unsafe")
-    gaps[starts] = 0
-
-    # one varbyte pass over the whole run
-    buf = varbyte_encode(gaps)
-    nbytes = _varbyte_nbytes(gaps)
-    offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(nbytes, out=offs[1:])
-
+    buf = buf_arr.tobytes()
     wbuf = weight.tobytes()
-    max_w = np.maximum.reduceat(weight, starts)
-    block_seq = (pos_in_group[starts] // block_size).astype(np.int32)
-
     return pd.DataFrame(
         {
             "term_id": term_id[starts],
@@ -546,6 +661,66 @@ def _encode_sorted_run(
             "doc_gaps": [buf[offs[s] : offs[e]] for s, e in zip(starts, ends)],
             "weights": [wbuf[s * 8 : e * 8] for s, e in zip(starts, ends)],
         }
+    )
+
+
+def _encode_sorted_run_arrow(
+    term_id: np.ndarray,
+    bucket_id: int,
+    doc_id: np.ndarray,
+    weight: np.ndarray,
+    block_size: int,
+):
+    """Arrow-native encoder for the shard paths: the two binary columns
+    are built with ``BinaryArray.from_buffers`` over the single varbyte /
+    weight buffers (blocks tile the run contiguously), so NO per-block
+    Python bytes objects and no pandas→Arrow conversion exist anywhere —
+    measured, that conversion was a flat (non-scaling) term of the old
+    encode kernel. Returns a pyarrow Table in BLOCK_SCHEMA order.
+    """
+    import pyarrow as pa
+
+    schema = _blocks_arrow_schema()
+    n = doc_id.shape[0]
+    if n == 0:
+        return schema.empty_table()
+    bucket = np.full(n, bucket_id, dtype=np.int64)
+    starts, ends, block_seq, max_w, buf_arr, offs = _block_layout(
+        term_id, bucket, doc_id, weight, block_size
+    )
+    nb = len(starts)
+    total_gap_bytes = int(offs[-1])
+    if total_gap_bytes >= (1 << 31) or n * 8 >= (1 << 31):
+        raise ValueError(
+            f"shard posting payload exceeds 2 GiB ({total_gap_bytes} gap "
+            "bytes); split the shard (smaller doc-range buckets)"
+        )
+    gap_offs = np.empty(nb + 1, dtype=np.int32)
+    gap_offs[:-1] = offs[starts]
+    gap_offs[-1] = total_gap_bytes
+    w_offs = np.empty(nb + 1, dtype=np.int32)
+    w_offs[:-1] = starts * 8
+    w_offs[-1] = n * 8
+    gaps_col = pa.BinaryArray.from_buffers(
+        pa.binary(), nb, [None, pa.py_buffer(gap_offs), pa.py_buffer(buf_arr)]
+    )
+    w_contig = np.ascontiguousarray(weight, dtype=np.float64)
+    weights_col = pa.BinaryArray.from_buffers(
+        pa.binary(), nb, [None, pa.py_buffer(w_offs), pa.py_buffer(w_contig)]
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(term_id[starts], type=pa.int64()),
+            pa.array(np.full(nb, bucket_id, dtype=np.int32), type=pa.int32()),
+            pa.array(block_seq, type=pa.int32()),
+            pa.array((ends - starts).astype(np.int32), type=pa.int32()),
+            pa.array(doc_id[starts], type=pa.int64()),
+            pa.array(doc_id[ends - 1], type=pa.int64()),
+            pa.array(max_w, type=pa.float64()),
+            gaps_col,
+            weights_col,
+        ],
+        schema=schema,
     )
 
 

@@ -291,11 +291,23 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle: int = 3,
+    all_pairs: bool = False,
 ) -> DataFrame:
-    """LSH banding: band-hash self-join → candidate pairs (doc_a < doc_b).
+    """LSH banding → candidate pairs (doc_a < doc_b).
 
-    The scale path for near-dup: shuffle keys are (band, band_hash)
-    buckets, so the quadratic blowup is confined to same-bucket docs.
+    Default (``all_pairs=False``) is MIN-ANCHOR emission — the 100 TB
+    shape: per (band, band_hash) bucket only the pairs
+    (min_doc_in_bucket, other) are emitted, so a duplicate cluster of m
+    docs costs O(m) candidate rows per band instead of the O(m²)
+    all-pairs blowup (measured pathological on dup-heavy corpora). One
+    window aggregation keyed by the bucket — no self-join at all. Every
+    doc that shares a bucket with the cluster minimum is still paired
+    with it, which is exactly what the min-id survivor rule of
+    ``dedup_near`` consumes; transitive chains whose ends never share a
+    bucket trade recall for the m² bound (standard LSH-dedup practice).
+
+    ``all_pairs=True`` keeps the exhaustive same-bucket self-join for
+    bounded corpora where full pair recall matters.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes=num_hashes, shingle=shingle)
@@ -310,6 +322,16 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bh"),
     )
+    if not all_pairs:
+        w = Window.partitionBy("band", "bh")
+        return (
+            banded.withColumn("anchor", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") > F.col("anchor"))
+            .select(
+                F.col("anchor").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (
@@ -430,15 +452,15 @@ def dedup_near(
     (min-id survivor rule, the keep_doc_id convention of dedup_exact).
 
     Output: (doc_id, is_dup, dup_of) — is_dup=1 rows are removable;
-    dup_of is the smallest verified near-dup neighbor below it.
+    dup_of is the smallest verified near-dup anchor below it.
 
-    Open scale note: on a near-dup-HEAVY corpus the candidate pair set
-    itself is quadratic in cluster size (inherent to pairwise LSH); the
-    production mitigation is the standard one — keep only the
-    (min-bucket-doc, other) pairs per band instead of all same-bucket
-    pairs, which this op does NOT yet do. Verified fine at gate scale;
-    measured pathological on the sf0.1 synthetic corpus (dup-cluster
-    rich by construction).
+    Scale note (closed): candidates use MIN-ANCHOR emission
+    (minhash_lsh_candidates default), so a duplicate cluster of m docs
+    yields O(m) candidate pairs per band, never O(m²) — the verify
+    stage's cost is linear in cluster size. A doc is removed when it
+    verifies against a smaller-id bucket anchor; docs that only chain
+    to the anchor transitively (never sharing a bucket with it) are
+    kept — the standard recall trade of anchor-based LSH dedup.
     """
     cand = minhash_lsh_candidates(
         documents, num_hashes=num_hashes, bands=bands, shingle=shingle

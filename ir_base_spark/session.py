@@ -21,6 +21,14 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Python workers inherit this env (driver → JVM → daemon → worker):
+    # keep glibc from mmap'ing/unmapping numpy's large scratch arrays on
+    # every task — the per-task page-fault + page-zero churn was a
+    # measured, non-scaling term of the Arrow shard kernels (each task
+    # re-faulted ~0.5 GB of fresh pages under 16-way concurrency).
+    # Heap-held pages get REUSED across tasks by the long-lived workers.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

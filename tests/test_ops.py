@@ -122,6 +122,40 @@ def test_dedup_near_end_to_end(spark):
     assert got[4][0] == 0 and got[5][0] == 0   # unrelated survive
 
 
+def test_minhash_lsh_anchor_emission_is_linear_in_cluster_size(spark):
+    """A duplicate cluster of m docs must emit O(m) candidate pairs
+    (min-anchor emission), not the O(m²) all-pairs blowup — the scale
+    contract of minhash_lsh_candidates/dedup_near."""
+    from ir_base_spark.ops.textops import dedup_near, minhash_lsh_candidates
+
+    m = 100
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest near the river bank"
+    )
+    rows = [(i, base) for i in range(m)]  # one m-doc exact-dup cluster
+    rows += [(m, "unrelated text about columnar storage formats"),
+             (m + 1, "posting lists and block max wand pruning at scale")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cand = minhash_lsh_candidates(docs).collect()
+    # identical docs share every bucket: anchor emission = exactly the
+    # (0, other) pairs once each — m-1 rows, not m*(m-1)/2
+    assert len(cand) == m - 1
+    assert {(r["doc_a"], r["doc_b"]) for r in cand} == {
+        (0, i) for i in range(1, m)
+    }
+
+    quad = minhash_lsh_candidates(docs, all_pairs=True).count()
+    assert quad == m * (m - 1) // 2  # the exhaustive variant, on request
+
+    got = {r["doc_id"]: (r["is_dup"], r["dup_of"])
+           for r in dedup_near(docs, threshold=0.6).collect()}
+    assert got[0] == (0, None)                      # anchor survives
+    assert all(got[i] == (1, 0) for i in range(1, m))  # cluster collapses
+    assert got[m][0] == 0 and got[m + 1][0] == 0    # unrelated survive
+
+
 def test_micro_prf_and_confusion(spark):
     from ir_base_spark.evaluate import confusion_matrix, micro_prf
 
