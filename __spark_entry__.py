@@ -493,11 +493,18 @@ def q_ndcg_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_by_event_type(_tbl(spark, sf_dir, "events"))
 
 
+TRANSCRIPTS_FIXTURE = dict(n_conversations=100, seed=42, n_queries=25)
+
+
 def q_transcripts_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship: synthetic transcripts (FIXTURES.md), full
     reference analyzer (Porter2 + stopwords + NUM), block index, WAND.
-    No SQL oracle (Porter2 not expressible in SQL) — rank identity is
-    asserted against the single-node oracle in pytest instead."""
+
+    Porter2/xxhash64 are not expressible in DuckDB SQL, so the oracle
+    for this entry is the single-node pure-Python reference engine
+    (ir_base_spark/oracle.py) run over the SAME deterministic fixture:
+    oracle_sql() renders its expected top-k as a VALUES literal, giving
+    the driver a full rows+schema+hash gate instead of rows-only."""
     from ir_base_spark.fixtures import make_fixture
     from ir_base_spark.index.blocks import build_block_index
     from ir_base_spark.index.build import build_index
@@ -505,13 +512,71 @@ def q_transcripts_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ir_base_spark.query.dataframe_bm25 import analyze_query_terms
     from ir_base_spark.query.wand import wand_topk
 
-    fx = make_fixture(n_conversations=100, seed=42, n_queries=25)
+    fx = make_fixture(**TRANSCRIPTS_FIXTURE)
     t = spark.createDataFrame(fx.transcripts)
     idx = build_index(spark, t)
     docs = assign_doc_ids(idx.doc_lens)
     bidx = build_block_index(idx, docs)
     qt = analyze_query_terms(spark, fx.queries)
-    return wand_topk(bidx, qt)
+    return wand_topk(bidx, qt).select(
+        "query_id",
+        "rank",
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.round(F.col("score"), 6).alias("score6"),
+    )
+
+
+def q_ranking_features_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """genRankingFV + the reference's z-score normalization
+    (L2RMetricLearning.normalize) as a composed op."""
+    from ir_base_spark.ops.l2r import ranking_features, zscore_features
+
+    feats = ranking_features(
+        _docs(spark, sf_dir),
+        _labels(spark, sf_dir),
+        RANKFV_QUERY_DOCS,
+        max_doc_id=60,
+    )
+    z = zscore_features(feats, RANKFV_COLS)
+    return z.select(
+        "query_doc",
+        "doc_id",
+        *[F.round(F.col(f"{c}_z"), 6).alias(f"{c}_z") for c in RANKFV_COLS],
+    )
+
+
+RANKFV_COLS = [
+    "bow_cos", "topical_sim", "same_label", "len_diff", "jaccard",
+    "senti_diff", "pos_sim", "aspect_sim", "stopword_prop", "avg_idf",
+]
+
+
+def q_child_ranking_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child composition: each 10-doc group is a 'parent', its
+    min-id doc is the sentence, the rest are children ranked by the
+    smoothed-LM likelihood (rankChild4StnByLanguageModel)."""
+    from ir_base_spark.ops.textops import child_ranking_lm
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .withColumn(
+            "parent_id", F.floor(F.col("doc_id") / F.lit(10)).cast("long")
+        )
+    )
+    pick = d.groupBy("parent_id").agg(F.min("doc_id").alias("stn_doc_id"))
+    stn = (
+        d.join(F.broadcast(pick), "parent_id")
+        .filter(F.col("doc_id") == F.col("stn_doc_id"))
+        .select("parent_id", F.col("text").alias("stn_text"))
+    )
+    children = (
+        d.join(F.broadcast(pick), "parent_id")
+        .filter(F.col("doc_id") != F.col("stn_doc_id"))
+        .select("parent_id", F.col("doc_id").alias("child_id"), "text")
+    )
+    return child_ranking_lm(children, stn, mu=1000.0)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -535,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_mi": q_feature_mi,
         "ranking_pairs": q_ranking_pairs,
         "ranking_features": q_ranking_features,
+        "ranking_features_z": q_ranking_features_z,
+        "child_ranking_lm": q_child_ranking_lm,
         "confusion_matrix": q_confusion_matrix,
         "prf1_eval": q_prf1_eval,
         "nb_model": q_nb_model,
@@ -675,11 +742,59 @@ per AS (
 )
 
 
+def _transcripts_golden_sql() -> str:
+    """Expected top-k of the flagship transcripts entry as a VALUES
+    literal, computed by the single-node pure-Python oracle engine
+    (ir_base_spark/oracle.py — the formalization of the reference's
+    retrieval semantics) over the same deterministic fixture. DuckDB
+    then just SELECTs the literal — the driver's rows+schema+hash gate
+    applies in full to the Porter2/WAND path it cannot express in SQL."""
+    from ir_base_spark.fixtures import make_fixture
+    from ir_base_spark.oracle import build_oracle_index, search_all
+
+    fx = make_fixture(**TRANSCRIPTS_FIXTURE)
+    docs = [
+        ((r.conv_id, int(r.turn_idx)), r.text)
+        for r in fx.transcripts.itertuples()
+    ]
+    idx = build_oracle_index(docs)
+    rows = search_all(
+        idx,
+        list(
+            zip(
+                fx.queries["query_id"],
+                fx.queries["query_text"],
+                fx.queries["k"],
+            )
+        ),
+    )
+    vals = ",\n".join(
+        "('{}', {}, '{}', {}, {!r})".format(
+            qid.replace("'", "''"),
+            rank,
+            conv.replace("'", "''"),
+            turn,
+            round(score, 6),
+        )
+        for qid, rank, conv, turn, score in rows
+    )
+    return f"""
+SELECT query_id,
+       CAST(rank AS INT) AS rank,
+       conv_id,
+       CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(score6 AS DOUBLE) AS score6
+FROM (VALUES
+{vals}
+) t(query_id, rank, conv_id, turn_idx, score6)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _stopword_in_list()
     text_stats_cte = _TEXT_STATS_SQL.replace("{STOP}", stop)
     qdocs = ", ".join(str(i) for i in RANKFV_QUERY_DOCS)
-    return {
+    orc = {
         "bm25_topk_docs": f"""
 WITH {_BM25_CTE}
 SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS INT)
@@ -1232,4 +1347,77 @@ SELECT event_type,
                         ELSE 0.0 END), 6) AS ndcg
 FROM ranked GROUP BY event_type
 """,
+        "child_ranking_lm": """
+WITH d AS (
+  SELECT doc_id, text, CAST(floor(doc_id / 10) AS BIGINT) AS parent_id
+  FROM documents WHERE doc_id < 200
+),
+pick AS (SELECT parent_id, min(doc_id) AS stn_doc_id FROM d GROUP BY 1),
+stn AS (SELECT d.parent_id, d.text AS stn_text
+        FROM d JOIN pick ON d.parent_id = pick.parent_id
+                        AND d.doc_id = pick.stn_doc_id),
+ch AS (SELECT d.parent_id, d.doc_id AS child_id, d.text
+       FROM d JOIN pick ON d.parent_id = pick.parent_id
+                       AND d.doc_id <> pick.stn_doc_id),
+ctok AS (SELECT parent_id, child_id,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+         FROM ch),
+ctok2 AS (SELECT * FROM ctok WHERE term <> ''),
+ctf AS (SELECT parent_id, child_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM ctok2 GROUP BY 1, 2, 3),
+clen AS (SELECT parent_id, child_id, sum(tf) AS clen FROM ctf GROUP BY 1, 2),
+ttf AS (SELECT term, sum(tf) AS ttf FROM ctf GROUP BY 1),
+tot AS (SELECT sum(ttf) AS T FROM ttf),
+p AS (SELECT term, ttf / (SELECT T FROM tot) AS p FROM ttf),
+stok AS (SELECT parent_id,
+                unnest(string_split_regex(lower(stn_text), '[^a-z0-9]+')) AS term
+         FROM stn),
+stok2 AS (SELECT * FROM stok WHERE term <> ''),
+stf AS (SELECT parent_id, term, CAST(count(*) AS DOUBLE) AS stn_tf
+        FROM stok2 GROUP BY 1, 2),
+pairs AS (
+  SELECT s.parent_id, cl.child_id, s.stn_tf, p.p, cl.clen,
+         coalesce(ct.tf, 0.0) AS ctf_val
+  FROM stf s
+  JOIN p ON p.term = s.term
+  JOIN clen cl ON cl.parent_id = s.parent_id
+  LEFT JOIN ctf ct ON ct.parent_id = s.parent_id
+                  AND ct.child_id = cl.child_id
+                  AND ct.term = s.term
+),
+sc AS (
+  SELECT parent_id, child_id,
+         round(sum(stn_tf * ln(
+             (1.0 - 1000.0 / (1000.0 + clen)) * ctf_val / clen
+             + (1000.0 / (1000.0 + clen)) * p)), 6) AS score6
+  FROM pairs GROUP BY 1, 2
+)
+SELECT parent_id, child_id,
+       CAST(row_number() OVER (PARTITION BY parent_id
+                               ORDER BY score6 DESC, child_id ASC) AS INT)
+           AS rank,
+       score6
+FROM sc
+""",
+        "transcripts_bm25_wand": _transcripts_golden_sql(),
     }
+    # z-scored ranking features: wrap the ranking_features oracle in a
+    # CTE, add one moments row, normalize with the same std>0 guard the
+    # Spark op applies (constant columns -> 0.0, not NaN)
+    moments = ", ".join(
+        f"avg({c}) AS m_{c}, avg({c} * {c}) AS s_{c}" for c in RANKFV_COLS
+    )
+    zsel = ",\n       ".join(
+        f"CASE WHEN sqrt(s_{c} - m_{c} * m_{c}) > 0 "
+        f"THEN round(({c} - m_{c}) / sqrt(s_{c} - m_{c} * m_{c}), 6) "
+        f"ELSE 0.0 END AS {c}_z"
+        for c in RANKFV_COLS
+    )
+    orc["ranking_features_z"] = f"""
+WITH rf AS ({orc["ranking_features"]}),
+mom AS (SELECT {moments} FROM rf)
+SELECT rf.query_doc, rf.doc_id,
+       {zsel}
+FROM rf CROSS JOIN mom
+"""
+    return orc

@@ -40,9 +40,10 @@ ENTRY_BENCH_QUERIES = [
     "quality_score",
     "ann_cosine_topk",
     "ann_lsh_topk_batch",
-    # dedup_near is gate-checked at sf0.01; at sf0.1 the synthetic corpus
-    # is near-dup-heavy and the verify stage's candidate set explodes --
-    # see ops/textops.dedup_near docstring for the open scale note
+    # restored: min-anchor LSH emission bounds the candidate set at O(m)
+    # per dup cluster, so the near-dup-heavy sf0.1 corpus is no longer
+    # pathological (round-2 verdict item 2)
+    "dedup_near",
     "prf1_eval",
     "ranking_features",
     "pricing_summary",

@@ -54,10 +54,15 @@ def assign_dense_ids(
     total order (unique key) for determinism.
     """
     # the ranked frame is traversed twice (sizes collect + final select);
-    # cache the input (so upstream aggs don't recompute) AND the ranked
-    # frame itself: repartitionByRange samples its boundaries, and the
-    # two traversals must observe the SAME partition assignment or the
-    # per-partition offsets are applied to the wrong partitions
+    # cache the input (so upstream aggs don't recompute during the two
+    # boundary-sampling passes) AND the ranked frame itself:
+    # repartitionByRange samples its boundaries, and the two traversals
+    # must observe the SAME partition assignment or the per-partition
+    # offsets are applied to the wrong partitions. The INPUT cache is
+    # released once `local` is materialized by the sizes collect; the
+    # `local` cache must outlive this call (it pins the partition
+    # assignment of the returned plan) — long-lived sessions clear it
+    # via spark.catalog.clearCache() between builds.
     df = df.cache()
     ordered = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
@@ -69,6 +74,7 @@ def assign_dense_ids(
         .orderBy("_pid")
         .collect()
     )
+    df.unpersist()
     if not sizes:
         return local.withColumn(id_name, (F.col("_rk") - 1).cast("long")).drop(
             "_pid", "_rk"
@@ -125,6 +131,9 @@ def two_phase_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = with_pid.withColumn("_cum", F.sum(value_col).over(w)).cache()
+    # NOTE: `local` stays cached past this call by design — it pins the
+    # sampled range boundaries for the returned plan (see docstring);
+    # long-lived sessions clear it via spark.catalog.clearCache().
     sums = (
         local.groupBy("_pid").agg(F.sum(value_col).alias("s")).orderBy("_pid").collect()
     )

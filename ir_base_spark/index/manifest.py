@@ -114,14 +114,18 @@ def input_snapshot_id(transcripts: DataFrame) -> str:
                 h.update(str(st.st_size).encode())
                 h.update(str(st.st_mtime_ns).encode())
     else:
+        # per-row hash via the column API (identifier-quoting-safe for
+        # any column name), aggregated under a fixed safe alias
         row_h = F.xxhash64(*[F.col(c) for c in transcripts.columns])
-        row = transcripts.select(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "bit_xor(xxhash64(" + ", ".join(transcripts.columns) + "))"
-            ).alias("hxor"),
-            F.sum(row_h.cast("decimal(38,0)")).alias("hsum"),
-        ).collect()[0]
+        row = (
+            transcripts.select(row_h.alias("_row_h"))
+            .select(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(_row_h)").alias("hxor"),
+                F.sum(F.col("_row_h").cast("decimal(38,0)")).alias("hsum"),
+            )
+            .collect()[0]
+        )
         h.update(f"{row['n']}|{row['hxor']}|{row['hsum']}".encode())
     h.update(transcripts.schema.json().encode())
     return h.hexdigest()[:16]

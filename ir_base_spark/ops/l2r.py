@@ -159,3 +159,44 @@ def ranking_features(
         F.col("stopword_ratio").alias("stopword_prop"),
         r6(F.col("avg_idf")).alias("avg_idf"),
     )
+
+
+def zscore_features(
+    features: DataFrame,
+    cols: list[str],
+    suffix: str = "_z",
+) -> DataFrame:
+    """Per-column z-score standardization of a feature table — the
+    reference's ranking-feature normalization before L2R training
+    (L2RMetricLearning.normalize,
+    /root/reference/src/Classifier/metricLearning/
+    L2RMetricLearning.java:298-329): x' = (x - mean) / std with the
+    POPULATION std sqrt(E[x²] - E[x]²), exactly the reference's
+    accumulate-then-divide moments.
+
+    Constant columns (std == 0 — e.g. the disabled feature dims the
+    reference emits as all-zero) map to 0.0 instead of the reference's
+    silent 0/0 → NaN, so downstream aggregations stay finite.
+
+    Plan shape: ONE aggregate over the feature table produces the
+    2·|cols| moment scalars; they come back as a broadcast literal row
+    (crossJoin of a 1-row frame), so the normalization pass is pure
+    scan-side column algebra — no shuffle, no second pass keyed by row.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(F.col(c)).alias(f"_m_{c}"))
+        aggs.append(F.avg(F.col(c) * F.col(c)).alias(f"_s_{c}"))
+    stats = features.agg(*aggs)
+    out = features.crossJoin(F.broadcast(stats))
+    keep = [c for c in features.columns]
+    zcols = []
+    for c in cols:
+        mean = F.col(f"_m_{c}")
+        std = F.sqrt(F.col(f"_s_{c}") - mean * mean)
+        zcols.append(
+            F.when(std > 0, (F.col(c) - mean) / std)
+            .otherwise(F.lit(0.0))
+            .alias(f"{c}{suffix}")
+        )
+    return out.select(*keep, *zcols)

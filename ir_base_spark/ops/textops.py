@@ -67,7 +67,7 @@ def term_percentile_slice(
     ranked = assign_dense_ids(
         stats, [F.col("df").asc(), F.col("term").asc()], "_rk"
     )
-    n = stats.count()  # hits the cache assign_dense_ids pinned
+    n = stats.count()  # small agg; recomputed (no cache pinned on stats)
     if n <= 1:
         return stats.select("term", "df", "ttf").limit(0)
     pr = F.col("_rk") / float(n - 1)
@@ -183,6 +183,82 @@ def lm_topk(
     return rank_bounded(
         scores, [F.col("score6").desc(), F.col("doc_id").asc()], k
     ).select("rank", "doc_id", "score6")
+
+
+def child_ranking_lm(
+    children: DataFrame,
+    stn: DataFrame,
+    mu: float = 1000.0,
+) -> DataFrame:
+    """Rank each parent's child docs against the parent's sentence by
+    smoothed language-model likelihood — the reference's
+    rankChild4StnByLanguageModel composition
+    (/root/reference/src/topicmodels/languageModelBaseLine.java:167-201;
+    smoothingMu = 1000): for child c of parent p and sentence s,
+
+        score(s, c) = Σ_t stn_tf(t) · ln((1-α_c)·tf_c(t)/len_c + α_c·p(t))
+        α_c = μ / (μ + len_c),   p(t) = TTF(t)/ΣTTF over the child corpus
+
+    Inputs: ``children`` (parent_id, child_id, text) and ``stn``
+    (parent_id, stn_text). Output: (parent_id, child_id, rank, score6),
+    rank per parent by (score desc, child_id asc).
+
+    Plan shape: the candidate restriction IS the join key — every join
+    is keyed (parent_id[, term]), so the per-parent work is bounded by
+    |stn terms| × |children of p| (the reference's nested loop), never
+    corpus-wide. The background model is a term-keyed broadcast; the
+    per-parent rank window is partitioned (no global window).
+    """
+    ctok = children.select(
+        "parent_id",
+        "child_id",
+        F.explode(F.split(F.lower(F.col("text")), SPLIT_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    ctf = ctok.groupBy("parent_id", "child_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    clen = ctf.groupBy("parent_id", "child_id").agg(
+        F.sum("tf").alias("clen")
+    )
+    ttf = ctf.groupBy("term").agg(F.sum("tf").alias("ttf"))
+    total = ttf.agg(F.sum("ttf").alias("T"))
+    p = ttf.crossJoin(F.broadcast(total)).select(
+        "term", (F.col("ttf") / F.col("T")).alias("p")
+    )
+    stok = stn.select(
+        "parent_id",
+        F.explode(F.split(F.lower(F.col("stn_text")), SPLIT_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    stf = stok.groupBy("parent_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("stn_tf")
+    )
+    pairs = (
+        stf.join(p, "term")  # OOV stn terms cannot occur: stn ⊆ corpus? no —
+        # a stn term absent from every child has p(t)=0 and tf=0 → ln(0);
+        # the reference indexes m_wordSstat by the shared vocabulary, so
+        # terms outside the child corpus vocabulary drop here (inner join)
+        .join(clen, "parent_id")
+        .join(
+            ctf.withColumnRenamed("tf", "ctf_val"),
+            ["parent_id", "child_id", "term"],
+            "left",
+        )
+        .withColumn("ctf_val", F.coalesce(F.col("ctf_val"), F.lit(0.0)))
+    )
+    alpha = F.lit(mu) / (F.lit(mu) + F.col("clen"))
+    contrib = F.col("stn_tf") * F.log(
+        (F.lit(1.0) - alpha) * F.col("ctf_val") / F.col("clen")
+        + alpha * F.col("p")
+    )
+    scores = pairs.groupBy("parent_id", "child_id").agg(
+        F.round(F.sum(contrib), 6).alias("score6")
+    )
+    w = Window.partitionBy("parent_id").orderBy(
+        F.col("score6").desc(), F.col("child_id").asc()
+    )
+    return scores.withColumn("rank", F.row_number().over(w)).select(
+        "parent_id", "child_id", "rank", "score6"
+    )
 
 
 # ------------------------------------------------------------------ dedup

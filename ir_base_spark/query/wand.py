@@ -390,6 +390,18 @@ def wand_topk_sharded(
     shard_files = sorted(
         _glob.glob(_os.path.join(index_root, "blocks", "partition_id=*", "*.parquet"))
     )
+    if not shard_files:
+        legacy = _glob.glob(_os.path.join(index_root, "blocks", "*.parquet"))
+        hint = (
+            " (found a legacy flat blocks/ layout — rebuild the index with "
+            "encode_shards / encode_shards_from_postings)"
+            if legacy
+            else ""
+        )
+        raise FileNotFoundError(
+            f"no sharded block files under {index_root}/blocks/"
+            f"partition_id=*/{hint}"
+        )
     fdf = spark.createDataFrame(
         [(p,) for p in shard_files], "path string"
     ).repartition(max(1, len(shard_files)))
