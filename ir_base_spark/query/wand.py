@@ -290,6 +290,134 @@ def _taat_bucket(
             out["k"].append(k)
 
 
+def _decode_full_lists(arrays: dict[int, tuple], tids, cache: dict):
+    """Concatenated (ids, ws) per term with a shard-level cache — each
+    term's blocks decode ONCE per shard no matter how many queries in
+    the batch touch it."""
+    out = {}
+    for tid in tids:
+        hit = cache.get(tid)
+        if hit is None:
+            firsts, lasts, maxws, gaps, wbytes = arrays[tid]
+            ids_parts, w_parts = [], []
+            for bi in range(len(firsts)):
+                ids, ws = decode_postings_block(firsts[bi], gaps[bi], wbytes[bi])
+                ids_parts.append(ids)
+                w_parts.append(ws)
+            hit = (np.concatenate(ids_parts), np.concatenate(w_parts))
+            cache[tid] = hit
+        out[tid] = hit
+    return out
+
+
+def _maxscore_query(
+    lists: list[tuple[int, float, np.ndarray, np.ndarray, float]],
+    k: int,
+    chunk: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k for ONE query over decoded lists via chunked MaxScore.
+
+    ``lists`` = [(term_id, qw, ids, ws, ub)] in ascending term_id. The
+    candidate stream is the doc-ordered union of the ESSENTIAL lists
+    only — the non-essential prefix (smallest clamped upper bounds whose
+    sum is <= the current threshold θ) cannot lift any doc above θ, and
+    a doc tying θ exactly loses the doc-id tie-break to the (earlier,
+    smaller-id) incumbent, so exclusion is exact, not approximate.
+    Candidates are exactly scored VECTORIZED per chunk: one searchsorted
+    gather per term in ascending term_id order, so per-element float
+    accumulation order matches the scalar WAND/TAAT/M1 paths. θ only
+    grows, so the non-essential prefix only widens. ~block_size× less
+    Python-interpreter work than the cursor DAAT kernel on batch loads.
+
+    Returns (doc_ids, scores) of the final pool, unordered beyond the
+    pool invariant (caller ranks).
+    """
+    nt = len(lists)
+    ubs = np.array([ub for _, _, _, _, ub in lists])
+    by_ub = sorted(range(nt), key=lambda i: (ubs[i], i))
+    prefix_ub = np.cumsum(ubs[by_ub])
+    ptrs = [0] * nt
+    pool_docs = np.empty(0, dtype=np.int64)
+    pool_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    full = False
+
+    while True:
+        ne = (
+            int(np.searchsorted(prefix_ub, theta, side="right")) if full else 0
+        )
+        essential = [
+            i for i in by_ub[ne:] if ptrs[i] < len(lists[i][2])
+        ]
+        if not essential:
+            break
+        # chunk upper doc bound: each essential list advances <= chunk
+        d_hi = min(
+            int(lists[i][2][min(ptrs[i] + chunk, len(lists[i][2])) - 1])
+            for i in essential
+        )
+        parts = []
+        for i in essential:
+            ids = lists[i][2]
+            j = int(np.searchsorted(ids, d_hi, side="right"))
+            if j > ptrs[i]:
+                parts.append(ids[ptrs[i]: j])
+                ptrs[i] = j
+        if not parts:
+            break
+        cand = np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+        # exact scores, ascending term_id accumulation (canonical order)
+        acc = np.zeros(cand.shape[0], dtype=np.float64)
+        for tid, qw, ids, ws, _ub in lists:
+            idx = np.searchsorted(ids, cand)
+            idx_c = np.minimum(idx, len(ids) - 1)
+            match = ids[idx_c] == cand
+            if match.any():
+                acc[match] += qw * ws[idx_c[match]]
+        pool_docs = np.concatenate([pool_docs, cand])
+        pool_scores = np.concatenate([pool_scores, acc])
+        if pool_docs.shape[0] >= k:
+            if pool_docs.shape[0] > k:
+                order = np.lexsort((pool_docs, -pool_scores))[:k]
+                pool_docs = pool_docs[order]
+                pool_scores = pool_scores[order]
+            theta = float(pool_scores.min())
+            full = True
+    return pool_docs, pool_scores
+
+
+def _maxscore_bucket(
+    arrays: dict[int, tuple],
+    queries: list[tuple[str, int, list[tuple[int, float]]]],
+    out: dict,
+) -> None:
+    """Chunked-MaxScore batch scorer over one bucket — the vectorized
+    selective batch path (algo="maxscore"). Rank-identical to WAND/TAAT
+    (same accumulation order, same (score desc, doc asc) tie-break,
+    tie-conservative pruning)."""
+    cache: dict = {}
+    for query_id, k, terms in queries:
+        matched = [(tid, qw) for tid, qw in terms if tid in arrays]
+        if not matched:
+            continue
+        decoded = _decode_full_lists(arrays, [t for t, _ in matched], cache)
+        lists = []
+        for tid, qw in matched:  # already ascending term_id
+            ids, ws = decoded[tid]
+            maxws = arrays[tid][2]
+            ub = max(0.0, qw * float(maxws.max()))
+            lists.append((tid, qw, ids, ws, ub))
+        docs, scores = _maxscore_query(lists, k)
+        if docs.shape[0] == 0:
+            continue
+        order = np.lexsort((docs, -scores))[:k]
+        for i in order:
+            out["query_id"].append(query_id)
+            out["doc_id"].append(int(docs[i]))
+            out["score"].append(float(scores[i]))
+            out["k"].append(k)
+
+
 def _make_bucket_kernel(
     queries: list[tuple[str, int, list[tuple[int, float]]]],
     algo: str = "wand",
@@ -314,6 +442,9 @@ def _make_bucket_kernel(
         out = {"query_id": [], "doc_id": [], "score": [], "k": []}
         if algo == "taat":
             _taat_bucket(arrays, queries, out)
+            return pd.DataFrame(out)
+        if algo == "maxscore":
+            _maxscore_bucket(arrays, queries, out)
             return pd.DataFrame(out)
         cache: dict = {}
         for query_id, k, terms in queries:
@@ -407,9 +538,11 @@ def wand_topk_sharded(
     ).repartition(max(1, len(shard_files)))
     if algo == "auto":
         # DAAT block-max WAND wins when pruning can skip most blocks
-        # (few selective queries); a large batch touches every block
-        # anyway, so the vectorized TAAT pass wins by interpreter cost
-        algo = "taat" if len(queries) >= 16 else "wand"
+        # (few selective queries, cursor kernel decodes lazily); a batch
+        # amortizes decode across queries, so the vectorized chunked-
+        # MaxScore pass wins by interpreter cost while still pruning
+        # the low-impact (stopword-heavy) lists TAAT would fully score
+        algo = "maxscore" if len(queries) >= 16 else "wand"
     bucket_kernel = _make_bucket_kernel(queries, algo=algo)
     tid_list = list(term_ids)
 

@@ -107,10 +107,14 @@ def test_taat_matches_wand_sharded(spark, fixture_small, tmp_path):
           for r in wand_topk_sharded(spark, root, qt, algo="wand").collect()}
     ta = {(r["query_id"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
           for r in wand_topk_sharded(spark, root, qt, algo="taat").collect()}
-    assert set(wd) == set(ta)
+    ms = {(r["query_id"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+          for r in wand_topk_sharded(spark, root, qt, algo="maxscore").collect()}
+    assert set(wd) == set(ta) == set(ms)
     for key in wd:
         assert wd[key][:2] == ta[key][:2], key
         assert abs(wd[key][2] - ta[key][2]) < 1e-12, key
+        assert wd[key][:2] == ms[key][:2], key
+        assert abs(wd[key][2] - ms[key][2]) < 1e-12, key
 
 
 def test_direct_postings_blocks_identical(spark, fixture_small, tmp_path):

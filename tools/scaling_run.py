@@ -106,8 +106,13 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
     )
     qt = analyze_query_terms(spark, qpdf).cache()
     qt.count()
+    # wand_sec = the PRODUCTION batch route (algo="auto" → chunked
+    # MaxScore for a 100-query batch); bmw_sec = the per-posting cursor
+    # block-max WAND kernel (the selective/interactive path); taat_sec =
+    # the exhaustive vectorized scorer. All three are rank-identical
+    # (tests/test_wand.py::test_taat_matches_wand_sharded).
     t0 = time.time()
-    wand_topk_sharded(spark, root, qt, algo="wand").write.format("noop").mode(
+    wand_topk_sharded(spark, root, qt, algo="auto").write.format("noop").mode(
         "overwrite"
     ).save()
     wand_sec = time.time() - t0
@@ -116,6 +121,11 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
         "overwrite"
     ).save()
     taat_sec = time.time() - t0
+    t0 = time.time()
+    wand_topk_sharded(spark, root, qt, algo="wand").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    bmw_sec = time.time() - t0
 
     pipeline_sec = build_sec + finalize_sec + block_sec
     print(
@@ -130,6 +140,7 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
                 "pipeline_sec": round(pipeline_sec, 3),
                 "wand_sec": round(wand_sec, 3),
                 "taat_sec": round(taat_sec, 3),
+                "bmw_sec": round(bmw_sec, 3),
                 "turns_per_sec": round(n_turns / pipeline_sec, 1),
             }
         )
@@ -152,6 +163,11 @@ def main() -> None:
         "keep the least-noise observation: the repeat with the minimal "
         "pipeline time per level, plus per-phase minima for the "
         "independent query phases. Noise on a shared box only ADDS time.",
+    )
+    ap.add_argument(
+        "--tag", default="",
+        help="suffix for BENCH/scaling_<tag>.json (e.g. a second core "
+        "pair); the untagged run also (re)writes BENCH/BASELINE.md",
     )
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--child-cores", type=int)
@@ -206,11 +222,10 @@ def main() -> None:
         best = dict(best)
         # query phases are independent of the pipeline phases: keep their
         # own minima across repeats
-        best["wand_sec"] = min(r["wand_sec"] for r in runs)
-        if any(r.get("taat_sec") for r in runs):
-            best["taat_sec"] = min(
-                r["taat_sec"] for r in runs if r.get("taat_sec")
-            )
+        for key in ("wand_sec", "taat_sec", "bmw_sec"):
+            vals = [r[key] for r in runs if r.get(key)]
+            if vals:
+                best[key] = min(vals)
         best["n_repeats"] = len(runs)
         results[c] = best
 
@@ -225,6 +240,11 @@ def main() -> None:
         if results[lo].get("taat_sec")
         else 0.0
     )
+    eff_bmw = (
+        (results[lo]["bmw_sec"] / results[hi]["bmw_sec"]) / ratio
+        if results[lo].get("bmw_sec")
+        else 0.0
+    )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     payload = {
@@ -233,9 +253,13 @@ def main() -> None:
         "efficiency_build": round(eff_build, 3),
         "efficiency_wand_queries": round(eff_wand, 3),
         "efficiency_taat_queries": round(eff_taat, 3),
+        "efficiency_bmw_queries": round(eff_bmw, 3),
         "convs": args.convs,
     }
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+    suffix = f"_{args.tag}" if args.tag else ""
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling{suffix}.json"), "w"
+    ) as fh:
         json.dump(payload, fh, indent=2)
 
     md = [
@@ -260,7 +284,7 @@ def main() -> None:
         + f" | {eff_pipeline:.3f} |"
     )
     md.append(
-        "| 100-query block-max WAND batch | "
+        "| 100-query batch, production route (auto → chunked MaxScore) | "
         + " | ".join(str(results[c]["wand_sec"]) for c in cores)
         + f" | {eff_wand:.3f} |"
     )
@@ -269,6 +293,12 @@ def main() -> None:
             "| 100-query vectorized TAAT batch | "
             + " | ".join(str(results[c]["taat_sec"]) for c in cores)
             + f" | {eff_taat:.3f} |"
+        )
+    if results[lo].get("bmw_sec"):
+        md.append(
+            "| 100-query per-posting cursor block-max WAND (interactive kernel) | "
+            + " | ".join(str(results[c]["bmw_sec"]) for c in cores)
+            + f" | {eff_bmw:.3f} |"
         )
     md += [
         "",
@@ -297,8 +327,9 @@ def main() -> None:
         "plan shapes apply with network shuffle — partitioning strategy is",
         "documented in SURVEY.md §7 and ir_base_spark/index/*.py docstrings.",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write("\n".join(md) + "\n")
+    if not args.tag:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+            fh.write("\n".join(md) + "\n")
     print(json.dumps(payload))
 
 
