@@ -435,11 +435,48 @@ def finalize_lite(
         spark, index_root, scheme=scheme, norm=0, min_df=min_df, max_df=max_df
     )
     base = conv_doc_base(idx.doc_lens).cache()
-    idx.terms.write.mode("overwrite").parquet(os.path.join(index_root, "terms"))
-    base.write.mode("overwrite").parquet(os.path.join(index_root, "base"))
+    base.count()  # pin the cumsum result before the dependent writes
+    # the three sidecar writes are independent — run them as CONCURRENT
+    # Spark jobs (driver threads): each write is small but carries 1-2
+    # job-scheduling barriers, and those fixed barriers were a measured
+    # non-scaling term of the finalize phase
     docs = assign_doc_ids(idx.doc_lens, base=base)
-    docs.write.mode("overwrite").parquet(os.path.join(index_root, "docs"))
+    _parallel_jobs(
+        lambda: idx.terms.write.mode("overwrite").parquet(
+            os.path.join(index_root, "terms")
+        ),
+        lambda: base.write.mode("overwrite").parquet(
+            os.path.join(index_root, "base")
+        ),
+        lambda: docs.write.mode("overwrite").parquet(
+            os.path.join(index_root, "docs")
+        ),
+    )
     return idx, base
+
+
+def _parallel_jobs(*thunks) -> None:
+    """Run independent Spark actions concurrently from driver threads
+    (supported: one SparkSession, many jobs; the scheduler interleaves
+    their tasks so no job's barrier leaves cores idle). Re-raises the
+    first failure."""
+    import threading
+
+    errors: list[BaseException] = []
+
+    def runner(fn):
+        try:
+            fn()
+        except BaseException as e:  # noqa: BLE001 - reraised below
+            errors.append(e)
+
+    threads = [threading.Thread(target=runner, args=(t,)) for t in thunks]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise errors[0]
 
 
 def finalize_sharded(
@@ -533,27 +570,51 @@ def finalize_index(
     # re-reads are cheaper and scale better than JVM cache
     # materialization (measured: ~25% faster at 8 and 32 cores)
     raw = load_postings(spark, index_root).drop("partition_id")
-    terms = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
     pruning = min_df > 1 or max_df is not None
-    if pruning:
-        # re-project doc vectors onto the pruned dictionary: doc_len,
-        # n_docs and avg_doc_len must reflect retained terms only —
-        # identical semantics to build_index's pruning branch (the
-        # reference's pass-2 with frozen CV, SURVEY §3.2)
-        kept = raw.drop("doc_len").join(
-            F.broadcast(terms.select("term")), "term", "left_semi"
-        )
-        doc_lens = kept.groupBy("conv_id", "turn_idx").agg(
-            F.sum("tf").alias("doc_len")
-        ).cache()
-        raw = kept.join(doc_lens, ["conv_id", "turn_idx"])
-    else:
-        # head rows make doc_lens a filter, not a 10^11-row groupBy
+    if not pruning:
+        # dictionary aggregation and the doc-length/corpus-stat chain
+        # are independent subgraphs — materialize them as CONCURRENT
+        # Spark jobs so neither chain's driver barriers idle the cores
+        terms = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
         doc_lens = (
             raw.filter(F.col("is_doc_head") == 1)
             .select("conv_id", "turn_idx", "doc_len")
             .cache()
         )
+        stats_box: dict = {}
+
+        def _stats():
+            stats_box["ns"] = corpus_stats(doc_lens)
+
+        _parallel_jobs(terms.count, _stats)
+        n_docs, avg_doc_len = stats_box["ns"]
+        _atomic_write_json(
+            os.path.join(index_root, "stats.json"),
+            {"n_docs": n_docs, "avg_doc_len": avg_doc_len,
+             "scheme": scheme, "norm": norm},
+        )
+        weights = set_feature_values(
+            raw, terms, n_docs, avg_doc_len, scheme=scheme, norm=norm
+        )
+        return InvertedIndex(
+            terms=terms, weights=weights, doc_lens=doc_lens,
+            n_docs=n_docs, avg_doc_len=avg_doc_len,
+            ngrams=1, scheme=scheme, norm=norm,
+        )
+    # pruning path: the doc projection depends on the pruned dictionary,
+    # so the chains are sequential by data dependency
+    terms = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
+    # re-project doc vectors onto the pruned dictionary: doc_len,
+    # n_docs and avg_doc_len must reflect retained terms only —
+    # identical semantics to build_index's pruning branch (the
+    # reference's pass-2 with frozen CV, SURVEY §3.2)
+    kept = raw.drop("doc_len").join(
+        F.broadcast(terms.select("term")), "term", "left_semi"
+    )
+    doc_lens = kept.groupBy("conv_id", "turn_idx").agg(
+        F.sum("tf").alias("doc_len")
+    ).cache()
+    raw = kept.join(doc_lens, ["conv_id", "turn_idx"])
     n_docs, avg_doc_len = corpus_stats(doc_lens)
     _atomic_write_json(
         os.path.join(index_root, "stats.json"),
