@@ -326,6 +326,18 @@ def main() -> None:
         "excluded by timing inside the session). At cluster scale the same",
         "plan shapes apply with network shuffle — partitioning strategy is",
         "documented in SURVEY.md §7 and ir_base_spark/index/*.py docstrings.",
+        "",
+        "Shared-bus attribution (measured, not guessed): "
+        "`BENCH/bus_probe.json` runs the EXACT block-encode kernel on one",
+        "shard from N concurrent plain processes (no Spark) — per-task",
+        "inflation vs N isolates the memory-bus ceiling from anything",
+        "plan- or scheduler-related. `BENCH/scaling_2_8.json` repeats the",
+        "whole N→4N comparison at 2→8 cores, a pair that fits under the",
+        "bus ceiling — closer to what four 2-core executors with private",
+        "memory buses (the north rule's actual configuration) would see.",
+        "Per-shard encode phase timings (read/map/sort/encode/write) are",
+        "reported by `encode_shards_from_postings` and",
+        "`tools/encode_probe.py`.",
     ]
     if not args.tag:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
