@@ -552,6 +552,37 @@ RANKFV_COLS = [
 ]
 
 
+RANKNET_HP = dict(lambda_=1.0, lr=0.5, iters=12, shrinkage=0.9)
+
+
+def q_ranknet_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RankNet trained on z-scored ranking features: pairs by label,
+    difference vectors, deterministic full-batch GD (ops/ranknet.py).
+    Output (dim, weight6) — the learned 10-dim model."""
+    from ir_base_spark.ops.l2r import ranking_pairs
+    from ir_base_spark.ops.ranknet import pair_feature_diffs, ranknet_train
+
+    feats = q_ranking_features_z(spark, sf_dir).cache()
+    ranked = (
+        feats.select("query_doc", "doc_id")
+        .join(_labels(spark, sf_dir), "doc_id")
+        .select(
+            F.col("query_doc").alias("query_id"), "doc_id", "label"
+        )
+    )
+    pairs = ranking_pairs(ranked)
+    zcols = [f"{c}_z" for c in RANKFV_COLS]
+    diffs = pair_feature_diffs(
+        pairs, feats, zcols, query_col="query_doc", doc_col="doc_id"
+    )
+    beta = ranknet_train(diffs, zcols, **RANKNET_HP)
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(i, float(round(b, 6))) for i, b in enumerate(beta)],
+        "dim int, weight6 double",
+    )
+
+
 def q_child_ranking_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parent-child composition: each 10-doc group is a 'parent', its
     min-id doc is the sentence, the rest are children ranked by the
@@ -601,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_pairs": q_ranking_pairs,
         "ranking_features": q_ranking_features,
         "ranking_features_z": q_ranking_features_z,
+        "ranknet_weights": q_ranknet_weights,
         "child_ranking_lm": q_child_ranking_lm,
         "confusion_matrix": q_confusion_matrix,
         "prf1_eval": q_prf1_eval,
@@ -1420,4 +1452,69 @@ SELECT rf.query_doc, rf.doc_id,
        {zsel}
 FROM rf CROSS JOIN mom
 """
+    orc["ranknet_weights"] = _ranknet_sql(orc["ranking_features_z"])
     return orc
+
+
+def _ranknet_sql(rfz_sql: str) -> str:
+    """RankNet's deterministic full-batch GD unrolled as chained CTEs —
+    one (gradient, update) CTE pair per iteration, identical float
+    association order to ops/ranknet.ranknet_train, so DuckDB converges
+    to the same weights (round-6) as the distributed trainer."""
+    zc = [f"{c}_z" for c in RANKFV_COLS]
+    nz = len(zc)
+    lam = RANKNET_HP["lambda_"]
+    lr = RANKNET_HP["lr"]
+    sh = RANKNET_HP["shrinkage"]
+    iters = RANKNET_HP["iters"]
+    diff_cols = ",\n         ".join(
+        f"(bf.{c} - wf.{c}) AS x{i}" for i, c in enumerate(zc)
+    )
+    zero_w = ", ".join(f"0.0 AS w{i}" for i in range(nz))
+    margin = " + ".join(f"x{i} * w{i}" for i in range(nz))
+    parts = [
+        f"rfz AS ({rfz_sql})",
+        """ranked AS (
+  SELECT r.query_doc AS query_id, r.doc_id, l.label
+  FROM rfz r
+  JOIN (SELECT vec_id AS doc_id, label FROM embeddings) l USING (doc_id)
+)""",
+        """rp AS (
+  SELECT a.query_id,
+         CASE WHEN a.label > b.label THEN a.doc_id ELSE b.doc_id END
+             AS better_doc,
+         CASE WHEN a.label > b.label THEN b.doc_id ELSE a.doc_id END
+             AS worse_doc
+  FROM ranked a JOIN ranked b
+    ON a.query_id = b.query_id AND a.doc_id < b.doc_id
+   AND a.label <> b.label
+)""",
+        f"""diffs AS (
+  SELECT {diff_cols}
+  FROM rp
+  JOIN rfz bf ON bf.query_doc = rp.query_id AND bf.doc_id = rp.better_doc
+  JOIN rfz wf ON wf.query_doc = rp.query_id AND wf.doc_id = rp.worse_doc
+)""",
+        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM diffs)",
+        f"b0 AS (SELECT {zero_w})",
+    ]
+    for t in range(1, iters + 1):
+        mu = lr * (sh ** (t - 1))
+        gsel = ", ".join(
+            f"sum((-1.0/(1.0+exp({margin}))) * x{i}) AS g{i}"
+            for i in range(nz)
+        )
+        bsel = ", ".join(
+            f"w{i} - {mu!r} * (g{i}/n + {lam!r} * w{i}) AS w{i}"
+            for i in range(nz)
+        )
+        parts.append(f"g{t} AS (SELECT {gsel} FROM diffs CROSS JOIN b{t-1})")
+        parts.append(
+            f"b{t} AS (SELECT {bsel} FROM b{t-1} CROSS JOIN g{t} "
+            "CROSS JOIN cnt)"
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT {i} AS dim, round(w{i}, 6) AS weight6 FROM b{iters}"
+        for i in range(nz)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -514,6 +514,9 @@ def finalize_sharded(
     cmap = spark.read.parquet(os.path.join(index_root, "conv_parts"))
 
     idx.terms.write.mode("overwrite").parquet(os.path.join(index_root, "terms"))
+    # conversation-base sidecar: the query path labels doc ids in-kernel
+    # from it (wand_topk_sharded) instead of joining the turn-level docs
+    base.write.mode("overwrite").parquet(os.path.join(index_root, "base"))
     docs = assign_doc_ids(idx.doc_lens, base=base)
     docs.write.mode("overwrite").parquet(os.path.join(index_root, "docs"))
 

@@ -490,7 +490,7 @@ def wand_topk_sharded(
     index_root: str,
     query_terms: DataFrame,
     terms: DataFrame | None = None,
-    docs: DataFrame | None = None,
+    docs: DataFrame | None = None,  # unused; kept for API compat
     algo: str = "wand",
 ) -> DataFrame:
     """Block-max WAND over the doc-sharded on-disk block index
@@ -502,16 +502,19 @@ def wand_topk_sharded(
     prune most of the file), then runs every query over the shard with
     the shared decode cache. Matched block bytes never shuffle and never
     cross the JVM→Python socket: the only rows Spark moves are <= k
-    results per (query, shard). The final merge is the same bounded
-    per-query window + docs join as wand_topk.
+    results per (query, shard). The doc_id → (conv_id, turn_idx) label
+    is resolved IN-KERNEL by a searchsorted against the worker-cached
+    conversation-base sidecar (doc_id = base[conv] + turn by
+    construction) — the old final join against the full turn-level docs
+    table rescanned 10^N rows per batch to label <= k·|queries| results,
+    a fixed cost that dominated small-batch latency and killed query
+    scaling. The final merge is just the bounded per-query rank window.
     """
     import glob as _glob
     import os as _os
 
     if terms is None:
         terms = spark.read.parquet(_os.path.join(index_root, "terms"))
-    if docs is None:
-        docs = spark.read.parquet(_os.path.join(index_root, "docs"))
     queries, term_ids = _prepare_queries(terms, query_terms)
     if not queries:
         return spark.createDataFrame(
@@ -549,6 +552,9 @@ def wand_topk_sharded(
     def shard_kernel(batches):
         import pyarrow.parquet as pq
 
+        from ..index.blocks import _load_sidecars
+
+        conv_map = None
         for pdf in batches:
             for path in pdf["path"]:
                 tbl = pq.read_table(
@@ -558,10 +564,32 @@ def wand_topk_sharded(
                 )
                 if tbl.num_rows == 0:
                     continue
-                yield bucket_kernel(tbl.to_pandas())
+                out = bucket_kernel(tbl.to_pandas())
+                if len(out) == 0:
+                    continue
+                if conv_map is None:
+                    import pyarrow as pa
+
+                    (_ts, _ti, _td, conv_set, bases, _st, _idf) = (
+                        _load_sidecars(index_root)
+                    )
+                    order = np.argsort(bases, kind="stable")
+                    # conv ids stay an Arrow array; only the <= k·|q|
+                    # result rows ever become Python strings
+                    conv_map = (bases[order], conv_set.take(pa.array(order)))
+                sbases, convs = conv_map
+                doc = out["doc_id"].to_numpy()
+                j = np.searchsorted(sbases, doc, side="right") - 1
+                import pyarrow as pa
+
+                out["conv_id"] = convs.take(pa.array(j)).to_pylist()
+                out["turn_idx"] = (doc - sbases[j]).astype(np.int32)
+                yield out
 
     local = fdf.mapInPandas(
-        shard_kernel, schema="query_id string, doc_id long, score double, k int"
+        shard_kernel,
+        "query_id string, doc_id long, score double, k int, "
+        "conv_id string, turn_idx int",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
@@ -570,10 +598,7 @@ def wand_topk_sharded(
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
     )
-    return (
-        topk.join(docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
-        .select("query_id", "rank", "conv_id", "turn_idx", "score")
-    )
+    return topk.select("query_id", "rank", "conv_id", "turn_idx", "score")
 
 
 def wand_topk(index: BlockIndex, query_terms: DataFrame) -> DataFrame:
