@@ -1472,8 +1472,12 @@ def _ranknet_sql(rfz_sql: str) -> str:
     )
     zero_w = ", ".join(f"0.0 AS w{i}" for i in range(nz))
     margin = " + ".join(f"x{i} * w{i}" for i in range(nz))
+    # MATERIALIZED: DuckDB inlines plain CTEs, so every unrolled
+    # iteration would re-expand the whole feature SQL (and re-open the
+    # parquet inputs hundreds of times — fd exhaustion); materializing
+    # the shared inputs evaluates each exactly once
     parts = [
-        f"rfz AS ({rfz_sql})",
+        f"rfz AS MATERIALIZED ({rfz_sql})",
         """ranked AS (
   SELECT r.query_doc AS query_id, r.doc_id, l.label
   FROM rfz r
@@ -1489,14 +1493,14 @@ def _ranknet_sql(rfz_sql: str) -> str:
     ON a.query_id = b.query_id AND a.doc_id < b.doc_id
    AND a.label <> b.label
 )""",
-        f"""diffs AS (
+        f"""diffs AS MATERIALIZED (
   SELECT {diff_cols}
   FROM rp
   JOIN rfz bf ON bf.query_doc = rp.query_id AND bf.doc_id = rp.better_doc
   JOIN rfz wf ON wf.query_doc = rp.query_id AND wf.doc_id = rp.worse_doc
 )""",
-        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM diffs)",
-        f"b0 AS (SELECT {zero_w})",
+        "cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM diffs)",
+        f"b0 AS MATERIALIZED (SELECT {zero_w})",
     ]
     for t in range(1, iters + 1):
         mu = lr * (sh ** (t - 1))
@@ -1508,10 +1512,16 @@ def _ranknet_sql(rfz_sql: str) -> str:
             f"w{i} - {mu!r} * (g{i}/n + {lam!r} * w{i}) AS w{i}"
             for i in range(nz)
         )
-        parts.append(f"g{t} AS (SELECT {gsel} FROM diffs CROSS JOIN b{t-1})")
+        # every iteration CTE is MATERIALIZED: b_t references b_{t-1}
+        # twice (weights + gradient margin), so plain inlining would
+        # blow up the expression tree 2^iters-fold at planning time
         parts.append(
-            f"b{t} AS (SELECT {bsel} FROM b{t-1} CROSS JOIN g{t} "
-            "CROSS JOIN cnt)"
+            f"g{t} AS MATERIALIZED (SELECT {gsel} "
+            f"FROM diffs CROSS JOIN b{t-1})"
+        )
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT {bsel} FROM b{t-1} "
+            f"CROSS JOIN g{t} CROSS JOIN cnt)"
         )
     final = "\nUNION ALL\n".join(
         f"SELECT {i} AS dim, round(w{i}, 6) AS weight6 FROM b{iters}"
