@@ -1440,8 +1440,9 @@ FROM sc
         f"avg({c}) AS m_{c}, avg({c} * {c}) AS s_{c}" for c in RANKFV_COLS
     )
     zsel = ",\n       ".join(
-        f"CASE WHEN sqrt(s_{c} - m_{c} * m_{c}) > 0 "
-        f"THEN round(({c} - m_{c}) / sqrt(s_{c} - m_{c} * m_{c}), 6) "
+        f"CASE WHEN sqrt(greatest(s_{c} - m_{c} * m_{c}, 0.0)) > 0 "
+        f"THEN round(({c} - m_{c}) "
+        f"/ sqrt(greatest(s_{c} - m_{c} * m_{c}, 0.0)), 6) "
         f"ELSE 0.0 END AS {c}_z"
         for c in RANKFV_COLS
     )
@@ -1453,7 +1454,68 @@ SELECT rf.query_doc, rf.doc_id,
 FROM rf CROSS JOIN mom
 """
     orc["ranknet_weights"] = _ranknet_sql(orc["ranking_features_z"])
+    orc.update(_dedup_golden_sqls())
     return orc
+
+
+def _dedup_golden_sqls() -> dict[str, str]:
+    """Expected outputs of the three xxhash64-based dedup entries as
+    VALUES literals, computed by the pure-Python replicas
+    (ir_base_spark/oracle_textops.py — from-spec XXH64 + the same
+    minhash/banding/verify math) over the SAME sf0.01 documents table
+    the driver feeds the Spark side. DuckDB just SELECTs the literal, so
+    the full rows+schema+hash gate applies to ops DuckDB cannot express
+    (no xxhash64). Replica-vs-Spark parity is itself pytest-asserted
+    (tests/test_oracle_textops.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ir_base_spark.oracle_textops import (
+        dedup_near_py,
+        minhash_lsh_candidates_py,
+        simhash64_py,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    pairs = minhash_lsh_candidates_py(docs)
+    pair_vals = ",\n".join(f"({a}, {b})" for a, b in pairs)
+    sims = simhash64_py(docs)
+    sim_vals = ",\n".join(f"({d}, {h})" for d, h in sims)
+    dd = dedup_near_py(docs, threshold=0.6)
+    dd_vals = ",\n".join(
+        f"({d}, {is_dup}, {'NULL' if dup_of is None else dup_of})"
+        for d, is_dup, dup_of in dd
+    )
+    return {
+        "minhash_lsh": f"""
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b
+FROM (VALUES
+{pair_vals}
+) t(doc_a, doc_b)
+""",
+        "simhash": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(simhash AS BIGINT) AS simhash
+FROM (VALUES
+{sim_vals}
+) t(doc_id, simhash)
+""",
+        "dedup_near": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(is_dup AS INT) AS is_dup,
+       CAST(dup_of AS BIGINT) AS dup_of
+FROM (VALUES
+{dd_vals}
+) t(doc_id, is_dup, dup_of)
+""",
+    }
 
 
 def _ranknet_sql(rfz_sql: str) -> str:

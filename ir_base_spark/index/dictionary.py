@@ -54,21 +54,22 @@ def assign_dense_ids(
     total order (unique key) for determinism.
     """
     # the ranked frame is traversed twice (sizes collect + final select);
-    # cache the input (so upstream aggs don't recompute during the two
-    # boundary-sampling passes) AND the ranked frame itself:
-    # repartitionByRange samples its boundaries, and the two traversals
-    # must observe the SAME partition assignment or the per-partition
-    # offsets are applied to the wrong partitions. The INPUT cache is
-    # released once `local` is materialized by the sizes collect; the
-    # `local` cache must outlive this call (it pins the partition
-    # assignment of the returned plan) — long-lived sessions clear it
-    # via spark.catalog.clearCache() between builds.
+    # cache the input (so upstream aggs don't recompute during the
+    # boundary-sampling passes), then pin the ranked frame with an EAGER
+    # localCheckpoint: repartitionByRange samples its boundaries, and
+    # the two traversals must observe the SAME partition assignment or
+    # the per-partition offsets are applied to the wrong partitions. A
+    # plain cache() is not enough at scale — a lost cached partition
+    # would silently recompute through a fresh boundary sample (the
+    # overlapping-id hazard); the checkpoint truncates lineage so a lost
+    # block fails LOUDLY instead, and the input cache can be released
+    # immediately because nothing can recompute through it.
     df = df.cache()
     ordered = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = ordered.withColumn("_pid", F.spark_partition_id())
     # local 1-based rank within each range partition
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = with_pid.withColumn("_rk", F.row_number().over(w)).cache()
+    local = with_pid.withColumn("_rk", F.row_number().over(w)).localCheckpoint()
     sizes = (
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
         .orderBy("_pid")
@@ -117,12 +118,12 @@ def two_phase_cumsum(
     columns plus ``out_col`` (sum of all values strictly before this
     row) and ``_total`` (grand total, same on every row).
 
-    The partitioned+ranked frame is CACHED before the offsets collect:
-    the offsets job and the returned plan must observe the SAME range
-    boundaries, and repartitionByRange samples its boundaries — two
-    separate evaluations could disagree, silently producing overlapping
-    id ranges (observed as duplicate doc ids at 3.4M docs before this
-    pin)."""
+    The partitioned+ranked frame is pinned with an eager localCheckpoint
+    before the offsets collect: the offsets job and the returned plan
+    must observe the SAME range boundaries, and repartitionByRange
+    samples its boundaries — two separate evaluations could disagree,
+    silently producing overlapping id ranges (observed as duplicate doc
+    ids at 3.4M docs before this pin)."""
     part = df.repartitionByRange(num_partitions, F.col(order_col).asc())
     with_pid = part.withColumn("_pid", F.spark_partition_id())
     w = (
@@ -130,10 +131,11 @@ def two_phase_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = with_pid.withColumn("_cum", F.sum(value_col).over(w)).cache()
-    # NOTE: `local` stays cached past this call by design — it pins the
-    # sampled range boundaries for the returned plan (see docstring);
-    # long-lived sessions clear it via spark.catalog.clearCache().
+    # eager localCheckpoint, not cache(): same overlapping-id hazard as
+    # assign_dense_ids — a lost cached partition would recompute through
+    # a fresh boundary sample; the checkpoint truncates lineage so the
+    # boundaries observed by the offsets job are the only ones possible.
+    local = with_pid.withColumn("_cum", F.sum(value_col).over(w)).localCheckpoint()
     sums = (
         local.groupBy("_pid").agg(F.sum(value_col).alias("s")).orderBy("_pid").collect()
     )

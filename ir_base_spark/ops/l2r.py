@@ -176,7 +176,12 @@ def zscore_features(
 
     Constant columns (std == 0 — e.g. the disabled feature dims the
     reference emits as all-zero) map to 0.0 instead of the reference's
-    silent 0/0 → NaN, so downstream aggregations stay finite.
+    silent 0/0 → NaN, so downstream aggregations stay finite. The
+    variance term E[x²] − E[x]² is clamped at 0 before the sqrt:
+    catastrophic cancellation on a constant column (e.g. all 0.1) can
+    leave a tiny NEGATIVE float, and sqrt(negative) = NaN, which Spark
+    treats as > 0 — without the clamp such a column would emit NaN
+    z-scores instead of the documented 0.0.
 
     Plan shape: ONE aggregate over the feature table produces the
     2·|cols| moment scalars; they come back as a broadcast literal row
@@ -193,7 +198,7 @@ def zscore_features(
     zcols = []
     for c in cols:
         mean = F.col(f"_m_{c}")
-        std = F.sqrt(F.col(f"_s_{c}") - mean * mean)
+        std = F.sqrt(F.greatest(F.col(f"_s_{c}") - mean * mean, F.lit(0.0)))
         zcols.append(
             F.when(std > 0, (F.col(c) - mean) / std)
             .otherwise(F.lit(0.0))

@@ -490,7 +490,7 @@ def wand_topk_sharded(
     index_root: str,
     query_terms: DataFrame,
     terms: DataFrame | None = None,
-    docs: DataFrame | None = None,  # unused; kept for API compat
+    docs: DataFrame | None = None,
     algo: str = "wand",
 ) -> DataFrame:
     """Block-max WAND over the doc-sharded on-disk block index
@@ -513,6 +513,24 @@ def wand_topk_sharded(
     import glob as _glob
     import os as _os
 
+    if docs is not None:
+        import warnings
+
+        warnings.warn(
+            "wand_topk_sharded ignores the `docs` argument: result labels "
+            "are resolved in-kernel from the index's base/ sidecar, not "
+            "from a caller-supplied docs mapping. Drop the argument, or "
+            "join your mapping onto the returned (conv_id, turn_idx) "
+            "frame if you need a filtered/custom labeling.",
+            stacklevel=2,
+        )
+    if not _os.path.isdir(_os.path.join(index_root, "base")):
+        raise FileNotFoundError(
+            f"{index_root}/base/ sidecar missing — this index was "
+            "finalized before the in-kernel labeling change. Re-run "
+            "finalize_sharded (or finalize_index) to write the "
+            "conversation-base sidecar."
+        )
     if terms is None:
         terms = spark.read.parquet(_os.path.join(index_root, "terms"))
     queries, term_ids = _prepare_queries(terms, query_terms)

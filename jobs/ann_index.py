@@ -105,11 +105,17 @@ def query_ann_index(
 
     # Spark's auto-bucketed-scan heuristic turns bucketed reads OFF for
     # plans without a bucketed join/agg — which also forfeits bucket
-    # PRUNING on the probe filter. Pin it on: this path exists precisely
-    # to read (n_planes+1)·|queries| buckets instead of the whole table.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    # PRUNING on the probe filter. Pin it on — but scoped to a CHILD
+    # session (shared SparkContext + catalog, isolated SQL conf), so the
+    # caller's session keeps its scan behavior for unrelated queries. A
+    # set/restore on the shared session would not even work: the conf is
+    # read at execution time, after this function returns its lazy plan.
+    child = spark.newSession()
+    child.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
     probes = probe_buckets(spark, table, query_vec_ids, n_planes=n_planes)
-    pruned = spark.table(table).filter(F.col("bucket").isin(probes))
+    pruned = child.table(table).filter(F.col("bucket").isin(probes))
     return ann_lsh_topk_batch(
         embeddings=None,
         query_vec_ids=query_vec_ids,
