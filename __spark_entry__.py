@@ -555,6 +555,12 @@ RANKFV_COLS = [
 RANKNET_HP = dict(lambda_=1.0, lr=0.5, iters=12, shrinkage=0.9)
 
 
+LAMBDARANK_HP = dict(rate=0.5, lambda_=1.0, lr=0.5, iters=8, shrinkage=0.9)
+
+
+RANKSVM_HP = dict(lambda_=1.0, lr=0.5, iters=12, shrinkage=0.9)
+
+
 def q_ranknet_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RankNet trained on z-scored ranking features: pairs by label,
     difference vectors, deterministic full-batch GD (ops/ranknet.py).
@@ -576,6 +582,64 @@ def q_ranknet_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, feats, zcols, query_col="query_doc", doc_col="doc_id"
     )
     beta = ranknet_train(diffs, zcols, **RANKNET_HP)
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(i, float(round(b, 6))) for i, b in enumerate(beta)],
+        "dim int, weight6 double",
+    )
+
+
+def _l2r_training_tables(spark: SparkSession, sf_dir: str):
+    """Shared L2R training inputs: z-scored features (cached), the
+    labeled per-doc frame, and the pair-difference table — the corpus
+    every pairwise trainer entry (RankNet/LambdaRank/RankSVM) consumes.
+    """
+    from ir_base_spark.ops.l2r import ranking_pairs
+    from ir_base_spark.ops.ranknet import pair_feature_diffs
+
+    feats = q_ranking_features_z(spark, sf_dir).cache()
+    labeled = (
+        feats.select("query_doc", "doc_id")
+        .join(_labels(spark, sf_dir), "doc_id")
+        .select(F.col("query_doc").alias("query_id"), "doc_id", "label")
+    )
+    pairs = ranking_pairs(labeled)
+    zcols = [f"{c}_z" for c in RANKFV_COLS]
+    diffs = pair_feature_diffs(
+        pairs, feats, zcols, query_col="query_doc", doc_col="doc_id"
+    )
+    return feats, labeled, diffs, zcols
+
+
+def q_lambdarank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LambdaRank (OT_MAP): pairwise logistic gradients weighted by the
+    |ΔMAP| harmonic factor of the current ranking, deterministic
+    full-batch descent (ops/lambdarank.py). Output (dim, weight6)."""
+    from ir_base_spark.ops.lambdarank import lambdarank_train
+
+    feats, labeled, diffs, zcols = _l2r_training_tables(spark, sf_dir)
+    per_doc = labeled.join(
+        feats.select(
+            F.col("query_doc").alias("query_id"), "doc_id", *zcols
+        ),
+        ["query_id", "doc_id"],
+    )
+    beta = lambdarank_train(per_doc, diffs, zcols, **LAMBDARANK_HP)
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(i, float(round(b, 6))) for i, b in enumerate(beta)],
+        "dim int, weight6 double",
+    )
+
+
+def q_ranksvm_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RankSVM: deterministic full-batch hinge subgradient over the same
+    pair-difference table (ops/lambdarank.ranksvm_train). Output
+    (dim, weight6)."""
+    from ir_base_spark.ops.lambdarank import ranksvm_train
+
+    feats, _labeled, diffs, zcols = _l2r_training_tables(spark, sf_dir)
+    beta = ranksvm_train(diffs, zcols, **RANKSVM_HP)
     feats.unpersist()
     return spark.createDataFrame(
         [(i, float(round(b, 6))) for i, b in enumerate(beta)],
@@ -633,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_features": q_ranking_features,
         "ranking_features_z": q_ranking_features_z,
         "ranknet_weights": q_ranknet_weights,
+        "lambdarank_weights": q_lambdarank_weights,
+        "ranksvm_weights": q_ranksvm_weights,
         "child_ranking_lm": q_child_ranking_lm,
         "confusion_matrix": q_confusion_matrix,
         "prf1_eval": q_prf1_eval,
@@ -1454,6 +1520,8 @@ SELECT rf.query_doc, rf.doc_id,
 FROM rf CROSS JOIN mom
 """
     orc["ranknet_weights"] = _ranknet_sql(orc["ranking_features_z"])
+    orc["lambdarank_weights"] = _lambdarank_sql(orc["ranking_features_z"])
+    orc["ranksvm_weights"] = _ranksvm_sql(orc["ranking_features_z"])
     orc.update(_dedup_golden_sqls())
     return orc
 
@@ -1583,6 +1651,175 @@ def _ranknet_sql(rfz_sql: str) -> str:
         )
         parts.append(
             f"b{t} AS MATERIALIZED (SELECT {bsel} FROM b{t-1} "
+            f"CROSS JOIN g{t} CROSS JOIN cnt)"
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT {i} AS dim, round(w{i}, 6) AS weight6 FROM b{iters}"
+        for i in range(nz)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+_RP_SQL = """rp AS (
+  SELECT a.query_id,
+         CASE WHEN a.label > b.label THEN a.doc_id ELSE b.doc_id END
+             AS better_doc,
+         CASE WHEN a.label > b.label THEN b.doc_id ELSE a.doc_id END
+             AS worse_doc
+  FROM ranked a JOIN ranked b
+    ON a.query_id = b.query_id AND a.doc_id < b.doc_id
+   AND a.label <> b.label
+)"""
+
+
+_RANKED_SQL = """ranked AS (
+  SELECT r.query_doc AS query_id, r.doc_id, l.label
+  FROM rfz r
+  JOIN (SELECT vec_id AS doc_id, label FROM embeddings) l USING (doc_id)
+)"""
+
+
+def _lambdarank_sql(rfz_sql: str) -> str:
+    """LambdaRank's deterministic full-batch descent unrolled as chained
+    MATERIALIZED CTEs — per iteration: a score CTE, a rank+running-
+    harmonic window CTE, the |ΔMAP|-weighted gradient aggregate, and the
+    weight update, in the identical float association order as
+    ops/lambdarank.lambdarank_train."""
+    zc = [f"{c}_z" for c in RANKFV_COLS]
+    nz = len(zc)
+    hp = LAMBDARANK_HP
+    rate, lam = hp["rate"], hp["lambda_"]
+    lr, sh, iters = hp["lr"], hp["shrinkage"], hp["iters"]
+    diff_cols = ",\n         ".join(
+        f"(bf.{c} - wf.{c}) AS x{i}" for i, c in enumerate(zc)
+    )
+    feat_cols = ",\n         ".join(
+        f"rf.{c} AS f{i}" for i, c in enumerate(zc)
+    )
+    zero_w = ", ".join(f"0.0 AS w{i}" for i in range(nz))
+    score = " + ".join(f"f{i} * w{i}" for i in range(nz))
+    parts = [
+        f"rfz AS MATERIALIZED ({rfz_sql})",
+        _RANKED_SQL,
+        f"""base AS MATERIALIZED (
+  SELECT ra.query_id, ra.doc_id, ra.label,
+         {feat_cols}
+  FROM ranked ra
+  JOIN rfz rf ON rf.query_doc = ra.query_id AND rf.doc_id = ra.doc_id
+)""",
+        """pstats AS MATERIALIZED (
+  SELECT query_id,
+         sum(CASE WHEN label > 0 THEN 1.0 ELSE 0.0 END) AS p_rel
+  FROM base GROUP BY query_id
+)""",
+        _RP_SQL,
+        f"""diffs AS MATERIALIZED (
+  SELECT rp.query_id, rp.better_doc, rp.worse_doc,
+         {diff_cols}
+  FROM rp
+  JOIN rfz bf ON bf.query_doc = rp.query_id AND bf.doc_id = rp.better_doc
+  JOIN rfz wf ON wf.query_doc = rp.query_id AND wf.doc_id = rp.worse_doc
+)""",
+        "cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM diffs)",
+        f"b0 AS MATERIALIZED (SELECT {zero_w})",
+    ]
+    for t in range(1, iters + 1):
+        mu = lr * (sh ** (t - 1))
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, ({score}) AS s
+  FROM base CROSS JOIN b{t - 1}
+)"""
+        )
+        # rank by (score desc, doc_id asc), then the running harmonic
+        # sum H_pos — the MAP swap-delta factor's ingredients
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, s,
+         sum(1.0 / CAST(pos AS DOUBLE)) OVER (
+             PARTITION BY query_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumh
+  FROM (SELECT query_id, doc_id, s,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY s DESC, doc_id ASC) AS pos
+        FROM s{t})
+)"""
+        )
+        gsel = ", ".join(
+            f"sum((-({rate!r} + abs(rb.cumh - rw.cumh) / p.p_rel)"
+            f" / (1.0 + exp(rb.s - rw.s))) * d.x{i}) AS g{i}"
+            for i in range(nz)
+        )
+        parts.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT {gsel}
+  FROM diffs d
+  JOIN r{t} rb ON rb.query_id = d.query_id AND rb.doc_id = d.better_doc
+  JOIN r{t} rw ON rw.query_id = d.query_id AND rw.doc_id = d.worse_doc
+  JOIN pstats p ON p.query_id = d.query_id
+)"""
+        )
+        bsel = ", ".join(
+            f"w{i} - {mu!r} * (g{i} / (2.0 * n) + {lam!r} * w{i}) AS w{i}"
+            for i in range(nz)
+        )
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT {bsel} FROM b{t - 1} "
+            f"CROSS JOIN g{t} CROSS JOIN cnt)"
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT {i} AS dim, round(w{i}, 6) AS weight6 FROM b{iters}"
+        for i in range(nz)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _ranksvm_sql(rfz_sql: str) -> str:
+    """RankSVM's deterministic full-batch hinge subgradient unrolled the
+    _ranknet_sql way: the only difference is the gradient term
+    -x·1[margin < 1] in place of the logistic factor."""
+    zc = [f"{c}_z" for c in RANKFV_COLS]
+    nz = len(zc)
+    lam = RANKSVM_HP["lambda_"]
+    lr = RANKSVM_HP["lr"]
+    sh = RANKSVM_HP["shrinkage"]
+    iters = RANKSVM_HP["iters"]
+    diff_cols = ",\n         ".join(
+        f"(bf.{c} - wf.{c}) AS x{i}" for i, c in enumerate(zc)
+    )
+    zero_w = ", ".join(f"0.0 AS w{i}" for i in range(nz))
+    margin = " + ".join(f"x{i} * w{i}" for i in range(nz))
+    parts = [
+        f"rfz AS MATERIALIZED ({rfz_sql})",
+        _RANKED_SQL,
+        _RP_SQL,
+        f"""diffs AS MATERIALIZED (
+  SELECT {diff_cols}
+  FROM rp
+  JOIN rfz bf ON bf.query_doc = rp.query_id AND bf.doc_id = rp.better_doc
+  JOIN rfz wf ON wf.query_doc = rp.query_id AND wf.doc_id = rp.worse_doc
+)""",
+        "cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM diffs)",
+        f"b0 AS MATERIALIZED (SELECT {zero_w})",
+    ]
+    for t in range(1, iters + 1):
+        mu = lr * (sh ** (t - 1))
+        gsel = ", ".join(
+            f"sum((CASE WHEN ({margin}) < 1.0 THEN -1.0 ELSE 0.0 END)"
+            f" * x{i}) AS g{i}"
+            for i in range(nz)
+        )
+        bsel = ", ".join(
+            f"w{i} - {mu!r} * (g{i}/n + {lam!r} * w{i}) AS w{i}"
+            for i in range(nz)
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT {gsel} "
+            f"FROM diffs CROSS JOIN b{t - 1})"
+        )
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT {bsel} FROM b{t - 1} "
             f"CROSS JOIN g{t} CROSS JOIN cnt)"
         )
     final = "\nUNION ALL\n".join(
