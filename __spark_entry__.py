@@ -386,6 +386,33 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(_docs(spark, sf_dir))
 
 
+def q_pos_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POS-projected adj/adv term vectors (constructPOSSpVct). The
+    fixture synthesizes deterministic tags from token shape (suffix
+    'ly' → RB, length ≥ 7 → JJ, else NN) — the tagger itself is a
+    pluggable upstream; the op consumes any aligned pos_tags column."""
+    from ir_base_spark.ops.textops import pos_projection
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    tagged = d.select(
+        "doc_id",
+        toks.alias("tokens"),
+    ).withColumn(
+        "pos_tags",
+        F.transform(
+            F.col("tokens"),
+            lambda t: F.when(t.like("%ly"), F.lit("RB"))
+            .when(F.length(t) >= 7, F.lit("JJ"))
+            .otherwise(F.lit("NN")),
+        ),
+    )
+    return pos_projection(tagged)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ir_base_spark.ops.textops import text_stats
 
@@ -714,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "pos_projection": q_pos_projection,
         "text_stats": q_text_stats,
         "langid": q_langid,
         "quality_score": q_quality_score,
@@ -1271,6 +1299,21 @@ FROM terms_agg
         "token_counts": f"""
 WITH {_TOK_CTE}
 SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term
+""",
+        "pos_projection": f"""
+WITH
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents WHERE doc_id < 300
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> '')
+SELECT doc_id, term, count(*) AS tf
+FROM tok2
+WHERE (CASE WHEN term LIKE '%ly' THEN 'RB'
+            WHEN length(term) >= 7 THEN 'JJ'
+            ELSE 'NN' END) IN ('JJ', 'JJR', 'JJS', 'RB', 'RBR', 'RBS')
+  AND length(term) > 1 AND length(term) < 20
+  AND term NOT IN ({stop})
+GROUP BY doc_id, term
 """,
         "term_stats": f"""
 WITH {_TOK_CTE},

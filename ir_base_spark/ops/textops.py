@@ -460,6 +460,51 @@ def simhash64(documents: DataFrame) -> DataFrame:
 _STOP_ARR = sorted({w for w in RAW_STOPWORDS if "'" not in w})
 
 
+ADJ_ADV_TAGS = ["JJ", "JJR", "JJS", "RB", "RBR", "RBS"]
+
+
+def pos_projection(
+    documents: DataFrame,
+    tokens_col: str = "tokens",
+    tags_col: str = "pos_tags",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """POS-projected sparse vectors: keep only adjective/adverb tokens
+    and count per (doc, term) — constructPOSSpVct
+    (/root/reference/src/Analyzer/DocAnalyzer.java:426-452: tag ∈
+    {JJ,JJR,JJS,RB,RBR,RBS} and isLegit, then tf counting).
+
+    The TAGGER is pluggable by design: this op consumes a ``pos_tags``
+    array column positionally aligned with ``tokens`` (the container
+    ships no POS model, and at 100 TB tagging is its own batch job —
+    e.g. a mapInPandas over a broadcast model — whose output is exactly
+    this column pair). Plan: arrays_zip keeps token/tag alignment
+    through ONE explode (no positional join), the tag + legit filters
+    run scan-side before the single (doc_id, term) shuffle.
+
+    Output: (doc_id, term, tf).
+    """
+    keep = list(ADJ_ADV_TAGS if keep is None else keep)
+    z = documents.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.col(tokens_col).alias("term"), F.col(tags_col).alias("tag")
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.term").alias("term"), F.col("p.tag").alias("tag"))
+    legit = (
+        (F.length("term") > 1)
+        & (F.length("term") < 20)
+        & ~F.col("term").isin(_STOP_ARR)
+    )
+    return (
+        z.filter(F.col("tag").isin(keep) & legit)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-doc quality stats: token count, mean token length, stopword
     ratio, digit-token ratio, punctuation density — the quality-feature
