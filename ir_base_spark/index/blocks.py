@@ -109,6 +109,12 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
+    if is_last.all():
+        # every byte is a standalone value (< 128): term frequencies are
+        # overwhelmingly 1-2 and most delta gaps are < 128, so this
+        # branch skips the grouped-accumulation path (np.add.at) that
+        # dominates generic decode
+        return b.astype(np.uint64)
     group = np.zeros(b.shape, dtype=np.int64)
     group[1:] = np.cumsum(is_last[:-1])
     n = int(is_last.sum())
@@ -147,13 +153,70 @@ def encode_postings_block(
 
 
 def decode_postings_block(
-    first_doc: int, doc_gaps: bytes, weights: bytes
+    first_doc: int, doc_gaps: bytes, payload: bytes, meta=None
 ) -> tuple[np.ndarray, np.ndarray]:
+    """(doc ids, float64 weights) for one block.
+
+    ``meta=None``: ``payload`` is raw float64 weights (the
+    weights-artifact format of encode_shards / build_block_index).
+
+    ``meta=(idf_t, denom, lo)``: the TF-payload format of
+    encode_shards_from_postings — ``payload`` is varbyte TERM FREQUENCY
+    (~1 byte/posting instead of 8), and the exact BM25 double is
+    reconstructed here with the identical expression and operand order
+    the encoder used (idf from the term sidecar, the per-doc saturation
+    denominator from the per-shard doc-length sidecar), so scores are
+    bit-identical to the stored-weights format. 8x fewer payload bytes
+    touch disk, page cache and the memory bus on both the encode and
+    every decode.
+    """
     gaps = varbyte_decode(doc_gaps).astype(np.int64)
     gaps[0] = first_doc
     ids = np.cumsum(gaps)
-    w = np.frombuffer(weights, dtype=np.float64)
+    if meta is None:
+        w = np.frombuffer(payload, dtype=np.float64)
+    else:
+        from .weights import B as _B, K1 as _K1  # noqa: F401 (K1 in expr)
+
+        idf_t, denom, lo = meta
+        tf = varbyte_decode(payload).astype(np.float64)
+        w = idf_t * (tf * (_K1 + 1.0) / (denom[ids - lo] + tf))
     return ids, w
+
+
+_PAYLOAD_KEY = b"sg_payload"
+_PAYLOAD_TF = b"tfv1"
+
+
+def _write_shard_doclen(out_dir: str, lo: int, dl: np.ndarray) -> None:
+    """Per-shard doc-length sidecar for the TF-payload format: doc
+    lengths over the shard's [lo, lo+span) doc-id range, int32 (doc
+    lengths are token counts per turn — far below 2^31)."""
+    path = os.path.join(out_dir, "_doclen.npz")
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, lo=np.int64(lo), dl=dl.astype(np.int32))
+    os.replace(tmp, path)
+
+
+_DOCLEN_CACHE: dict = {}
+
+
+def load_shard_doclen(shard_dir: str) -> tuple[int, np.ndarray]:
+    """(lo, doc_len int32 array) for one shard dir, worker-cached by
+    mtime (Spark reuses Python workers across jobs — same staleness
+    rule as _sidecar_token)."""
+    path = os.path.join(shard_dir, "_doclen.npz")
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _DOCLEN_CACHE.get(key)
+    if hit is None:
+        with np.load(path) as z:
+            hit = (int(z["lo"]), z["dl"])
+        if len(_DOCLEN_CACHE) > 256:  # bound worker-resident sidecars
+            _DOCLEN_CACHE.clear()
+        _DOCLEN_CACHE[key] = hit
+    return hit
 
 
 # ------------------------------------------------------- sharded encode
@@ -433,15 +496,14 @@ def encode_shards_from_postings(
                     )
                     cpos = pc.fill_null(cpos_arr, -1).to_numpy()
                     turn = tbl.column("turn_idx").chunk(0).to_numpy()
-                    tf = tbl.column("tf").chunk(0).to_numpy().astype(
-                        np.float64, copy=False
-                    )
+                    tf_i = tbl.column("tf").chunk(0).to_numpy()
                     keep = pos_np >= 0
                     if not keep.all():
                         pos_np = pos_np[keep]
                         cpos = cpos[keep]
                         turn = turn[keep]
-                        tf = tf[keep]
+                        tf_i = tf_i[keep]
+                    tf = tf_i.astype(np.float64)
                     # invariant: every retained posting's conversation has
                     # a base entry — fail LOUDLY rather than let a null
                     # position corrupt doc ids downstream
@@ -482,8 +544,13 @@ def encode_shards_from_postings(
                     else:
                         order = np.lexsort((doc, tid))
                     t_sort = _t.time()
+                    # TF payload (varbyte, ~1 B/posting): the float64
+                    # weights feed only max_weight; query decode
+                    # reconstructs the identical doubles from
+                    # tf + idf sidecar + the doclen sidecar below
                     enc = _encode_sorted_run_arrow(
-                        tid[order], int(pid), doc[order], w[order], block_size
+                        tid[order], int(pid), doc[order], w[order],
+                        block_size, tf=tf_i[order],
                     )
                 elif tid is not None:
                     t_sort = _t.time()
@@ -497,6 +564,8 @@ def encode_shards_from_postings(
                 tmp = out_path + f".tmp{os.getpid()}"
                 pq.write_table(enc, tmp, row_group_size=4096)
                 os.replace(tmp, out_path)
+                if enc.num_rows:
+                    _write_shard_doclen(out_dir, lo, dl_acc)
                 t_write = _t.time()
                 yield pd.DataFrame(
                     {
@@ -670,13 +739,22 @@ def _encode_sorted_run_arrow(
     doc_id: np.ndarray,
     weight: np.ndarray,
     block_size: int,
+    tf: np.ndarray | None = None,
 ):
     """Arrow-native encoder for the shard paths: the two binary columns
     are built with ``BinaryArray.from_buffers`` over the single varbyte /
-    weight buffers (blocks tile the run contiguously), so NO per-block
+    payload buffers (blocks tile the run contiguously), so NO per-block
     Python bytes objects and no pandas→Arrow conversion exist anywhere —
     measured, that conversion was a flat (non-scaling) term of the old
     encode kernel. Returns a pyarrow Table in BLOCK_SCHEMA order.
+
+    ``tf=None``: the payload column carries raw float64 weights.
+    ``tf`` given: the TF-payload format — the column carries varbyte
+    term frequencies (~1 byte vs 8) and the table is stamped with the
+    ``sg_payload=tfv1`` schema metadata; ``weight`` is still consumed
+    for the exact per-block max_weight pruning bound. Requires the
+    per-shard doclen sidecar (decode_postings_block reconstructs the
+    identical doubles from tf + sidecars).
     """
     import pyarrow as pa
 
@@ -698,16 +776,28 @@ def _encode_sorted_run_arrow(
     gap_offs = np.empty(nb + 1, dtype=np.int32)
     gap_offs[:-1] = offs[starts]
     gap_offs[-1] = total_gap_bytes
-    w_offs = np.empty(nb + 1, dtype=np.int32)
-    w_offs[:-1] = starts * 8
-    w_offs[-1] = n * 8
     gaps_col = pa.BinaryArray.from_buffers(
         pa.binary(), nb, [None, pa.py_buffer(gap_offs), pa.py_buffer(buf_arr)]
     )
-    w_contig = np.ascontiguousarray(weight, dtype=np.float64)
-    weights_col = pa.BinaryArray.from_buffers(
-        pa.binary(), nb, [None, pa.py_buffer(w_offs), pa.py_buffer(w_contig)]
-    )
+    if tf is not None:
+        tf_buf, tf_nbytes = _varbyte_encode_arr(tf)
+        tf_offs_all = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tf_nbytes, out=tf_offs_all[1:])
+        w_offs = np.empty(nb + 1, dtype=np.int32)
+        w_offs[:-1] = tf_offs_all[starts]
+        w_offs[-1] = int(tf_offs_all[-1])
+        weights_col = pa.BinaryArray.from_buffers(
+            pa.binary(), nb, [None, pa.py_buffer(w_offs), pa.py_buffer(tf_buf)]
+        )
+        schema = schema.with_metadata({_PAYLOAD_KEY: _PAYLOAD_TF})
+    else:
+        w_offs = np.empty(nb + 1, dtype=np.int32)
+        w_offs[:-1] = starts * 8
+        w_offs[-1] = n * 8
+        w_contig = np.ascontiguousarray(weight, dtype=np.float64)
+        weights_col = pa.BinaryArray.from_buffers(
+            pa.binary(), nb, [None, pa.py_buffer(w_offs), pa.py_buffer(w_contig)]
+        )
     return pa.Table.from_arrays(
         [
             pa.array(term_id[starts], type=pa.int64()),

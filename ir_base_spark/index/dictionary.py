@@ -189,6 +189,41 @@ def conv_doc_base(doc_lens: DataFrame, num_partitions: int = 32) -> DataFrame:
     ).select("conv_id", "base")
 
 
+def conv_doc_base_with_stats(
+    doc_lens: DataFrame, num_partitions: int = 32
+) -> tuple[DataFrame, int, float]:
+    """conv_doc_base PLUS the corpus scalar constants, from ONE
+    conversation-level aggregation: per-conv doc count and length sum
+    ride the same groupBy that feeds the base cumsum, so n_docs and
+    avg_doc_len derive from the (small, checkpointed) conversation
+    table instead of a second full pass over doc_lens — the separate
+    corpus_stats scan was a measured non-scaling term of finalize.
+
+    avg_doc_len stays bit-identical to corpus_stats: doc_len sums are
+    integer-exact well below 2^53, so Σlen/Σcount equals avg() however
+    the partials associate.
+
+    Returns (base DataFrame(conv_id, base), n_docs, avg_doc_len).
+    """
+    # the cumsum's boundary-sampling pass and its shuffle pass would
+    # otherwise each re-run this full doc_lens aggregation; the conv
+    # table is tiny, so cache it for the second pass and release after
+    # the checkpoint inside two_phase_cumsum has materialized
+    ext = doc_lens.groupBy("conv_id").agg(
+        (F.max("turn_idx") + 1).cast("long").alias("_n"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("doc_len").cast("long").alias("_sum"),
+    ).cache()
+    cum = two_phase_cumsum(ext, "conv_id", "_n", "base", num_partitions=num_partitions)
+    ext.unpersist()
+    row = cum.agg(
+        F.sum("_cnt").alias("c"), F.sum("_sum").alias("s")
+    ).collect()[0]
+    n_docs = int(row["c"] or 0)
+    avg = (float(row["s"]) / n_docs) if n_docs else 0.0
+    return cum.select("conv_id", "base"), n_docs, avg
+
+
 def assign_doc_ids(
     doc_lens: DataFrame,
     num_partitions: int = 32,

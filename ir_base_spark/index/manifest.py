@@ -429,30 +429,117 @@ def finalize_lite(
 
     Returns (InvertedIndex, base DataFrame).
     """
-    from .dictionary import assign_doc_ids, conv_doc_base
-
-    idx = finalize_index(
+    return _finalize_artifacts(
         spark, index_root, scheme=scheme, norm=0, min_df=min_df, max_df=max_df
     )
-    base = conv_doc_base(idx.doc_lens).cache()
-    base.count()  # pin the cumsum result before the dependent writes
-    # the three sidecar writes are independent — run them as CONCURRENT
-    # Spark jobs (driver threads): each write is small but carries 1-2
-    # job-scheduling barriers, and those fixed barriers were a measured
-    # non-scaling term of the finalize phase
-    docs = assign_doc_ids(idx.doc_lens, base=base)
-    _parallel_jobs(
-        lambda: idx.terms.write.mode("overwrite").parquet(
-            os.path.join(index_root, "terms")
-        ),
-        lambda: base.write.mode("overwrite").parquet(
-            os.path.join(index_root, "base")
-        ),
-        lambda: docs.write.mode("overwrite").parquet(
-            os.path.join(index_root, "docs")
-        ),
+
+
+def _finalize_artifacts(
+    spark: SparkSession,
+    index_root: str,
+    scheme: str,
+    norm: int,
+    min_df: int = 1,
+    max_df: int | None = None,
+):
+    """Fused finalize core shared by finalize_lite / finalize_sharded:
+    computes the dictionary, doc lengths, conversation bases and corpus
+    constants and writes terms/ base/ docs/ + stats.json.
+
+    Scaling shape (this phase was the binding flat term of the pipeline
+    at small core counts — fixed driver/job barriers, not data volume):
+    - TWO composite chains run as concurrent driver-thread jobs, each
+      ENDING IN ITS OWN ARTIFACT WRITES, so no write waits on an
+      unrelated chain's barrier: [dictionary agg → dense ids → terms/]
+      ∥ [doc_lens → conv base cumsum + corpus stats → base/ ∥ docs/].
+    - corpus stats ride the conversation-level aggregate
+      (conv_doc_base_with_stats) instead of a second full doc_lens
+      pass.
+    - no separate base.count pin: two_phase_cumsum's eager
+      localCheckpoint already froze the range boundaries.
+
+    Returns (InvertedIndex, base DataFrame).
+    """
+    from .build import InvertedIndex
+    from .dictionary import (
+        assign_doc_ids,
+        build_dictionary,
+        conv_doc_base,
+        conv_doc_base_with_stats,
     )
-    return idx, base
+    from .weights import set_feature_values
+
+    pruning = min_df > 1 or max_df is not None
+    if pruning:
+        # rare path: the doc projection depends on the pruned
+        # dictionary, so the chains are sequential by data dependency
+        idx = finalize_index(
+            spark, index_root, scheme=scheme, norm=norm,
+            min_df=min_df, max_df=max_df,
+        )
+        base = conv_doc_base(idx.doc_lens).cache()
+        base.count()
+        docs = assign_doc_ids(idx.doc_lens, base=base)
+        _parallel_jobs(
+            lambda: idx.terms.write.mode("overwrite").parquet(
+                os.path.join(index_root, "terms")
+            ),
+            lambda: base.write.mode("overwrite").parquet(
+                os.path.join(index_root, "base")
+            ),
+            lambda: docs.write.mode("overwrite").parquet(
+                os.path.join(index_root, "docs")
+            ),
+        )
+        return idx, base
+
+    # raw postings deliberately NOT cached — page-cached parquet
+    # re-reads are cheaper than JVM cache materialization (measured)
+    raw = load_postings(spark, index_root).drop("partition_id")
+    doc_lens = (
+        raw.filter(F.col("is_doc_head") == 1)
+        .select("conv_id", "turn_idx", "doc_len")
+        .cache()
+    )
+    box: dict = {}
+
+    def terms_chain():
+        t = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
+        t.count()
+        t.write.mode("overwrite").parquet(os.path.join(index_root, "terms"))
+        box["terms"] = t
+
+    def docs_chain():
+        base, n_docs, avg_doc_len = conv_doc_base_with_stats(doc_lens)
+        box["base"] = base
+        box["stats"] = (n_docs, avg_doc_len)
+        docs = assign_doc_ids(doc_lens, base=base)
+        _parallel_jobs(
+            lambda: base.write.mode("overwrite").parquet(
+                os.path.join(index_root, "base")
+            ),
+            lambda: docs.write.mode("overwrite").parquet(
+                os.path.join(index_root, "docs")
+            ),
+        )
+
+    _parallel_jobs(terms_chain, docs_chain)
+    n_docs, avg_doc_len = box["stats"]
+    _atomic_write_json(
+        os.path.join(index_root, "stats.json"),
+        {"n_docs": n_docs, "avg_doc_len": avg_doc_len,
+         "scheme": scheme, "norm": norm},
+    )
+    terms = box["terms"]
+    weights = set_feature_values(
+        raw, terms, n_docs, avg_doc_len, scheme=scheme, norm=norm
+    )
+    idx = InvertedIndex(
+        terms=terms, weights=weights, doc_lens=doc_lens,
+        n_docs=n_docs, avg_doc_len=avg_doc_len,
+        ngrams=1, scheme=scheme, norm=norm,
+    )
+    return idx, box["base"]
 
 
 def _parallel_jobs(*thunks) -> None:
@@ -505,20 +592,14 @@ def finalize_sharded(
 
     Returns (InvertedIndex, conv-base DataFrame).
     """
-    from .dictionary import assign_doc_ids, conv_doc_base
-
-    idx = finalize_index(
-        spark, index_root, scheme=scheme, norm=norm, min_df=min_df, max_df=max_df
+    # terms/ base/ docs/ + stats.json via the fused concurrent-chain
+    # core (base/ is the conversation sidecar the query path labels doc
+    # ids from in-kernel); only the weights artifact is sharded-specific
+    idx, base = _finalize_artifacts(
+        spark, index_root, scheme=scheme, norm=norm,
+        min_df=min_df, max_df=max_df,
     )
-    base = conv_doc_base(idx.doc_lens).cache()
     cmap = spark.read.parquet(os.path.join(index_root, "conv_parts"))
-
-    idx.terms.write.mode("overwrite").parquet(os.path.join(index_root, "terms"))
-    # conversation-base sidecar: the query path labels doc ids in-kernel
-    # from it (wand_topk_sharded) instead of joining the turn-level docs
-    base.write.mode("overwrite").parquet(os.path.join(index_root, "base"))
-    docs = assign_doc_ids(idx.doc_lens, base=base)
-    docs.write.mode("overwrite").parquet(os.path.join(index_root, "docs"))
 
     w = (
         idx.weights.join(F.broadcast(base), "conv_id")

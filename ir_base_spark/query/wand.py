@@ -47,11 +47,12 @@ class _ListIter:
 
     __slots__ = (
         "term_id", "qw", "firsts", "lasts", "maxws", "gaps", "wbytes",
-        "bi", "ids", "ws", "pos", "cur", "ub", "cache",
+        "meta", "bi", "ids", "ws", "pos", "cur", "ub", "cache",
     )
 
     def __init__(self, term_id, qw, firsts, lasts, maxws, gaps, wbytes,
-                 cache=None):
+                 meta=None, cache=None):
+        self.meta = meta
         self.term_id = term_id
         self.qw = qw
         self.cache = cache
@@ -77,13 +78,15 @@ class _ListIter:
             hit = self.cache.get(key)
             if hit is None:
                 hit = decode_postings_block(
-                    self.firsts[self.bi], self.gaps[self.bi], self.wbytes[self.bi]
+                    self.firsts[self.bi], self.gaps[self.bi],
+                    self.wbytes[self.bi], self.meta,
                 )
                 self.cache[key] = hit
             self.ids, self.ws = hit
         else:
             self.ids, self.ws = decode_postings_block(
-                self.firsts[self.bi], self.gaps[self.bi], self.wbytes[self.bi]
+                self.firsts[self.bi], self.gaps[self.bi],
+                self.wbytes[self.bi], self.meta,
             )
         self.pos = 0
         self.cur = int(self.ids[0])
@@ -237,11 +240,11 @@ def _taat_bucket(
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     lo = None
     hi = None
-    for tid, (firsts, lasts, maxws, gaps, wbytes) in arrays.items():
+    for tid, (firsts, lasts, maxws, gaps, wbytes, meta) in arrays.items():
         ids_parts = []
         w_parts = []
         for bi in range(len(firsts)):
-            ids, ws = decode_postings_block(firsts[bi], gaps[bi], wbytes[bi])
+            ids, ws = decode_postings_block(firsts[bi], gaps[bi], wbytes[bi], meta)
             ids_parts.append(ids)
             w_parts.append(ws)
         ids = np.concatenate(ids_parts)
@@ -298,10 +301,10 @@ def _decode_full_lists(arrays: dict[int, tuple], tids, cache: dict):
     for tid in tids:
         hit = cache.get(tid)
         if hit is None:
-            firsts, lasts, maxws, gaps, wbytes = arrays[tid]
+            firsts, lasts, maxws, gaps, wbytes, meta = arrays[tid]
             ids_parts, w_parts = [], []
             for bi in range(len(firsts)):
-                ids, ws = decode_postings_block(firsts[bi], gaps[bi], wbytes[bi])
+                ids, ws = decode_postings_block(firsts[bi], gaps[bi], wbytes[bi], meta)
                 ids_parts.append(ids)
                 w_parts.append(ws)
             hit = (np.concatenate(ids_parts), np.concatenate(w_parts))
@@ -428,7 +431,7 @@ def _make_bucket_kernel(
     vectorized term-at-a-time full evaluation (large batches — decode
     once, no per-posting Python). Both are rank-identical."""
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, meta_for=None) -> pd.DataFrame:
         arrays: dict[int, tuple] = {}
         for term_id, g in pdf.groupby("term_id", sort=True):
             g = g.sort_values("block_seq")
@@ -438,6 +441,7 @@ def _make_bucket_kernel(
                 g["max_weight"].to_numpy(dtype=np.float64),
                 g["doc_gaps"].tolist(),
                 g["weights"].tolist(),
+                meta_for(int(term_id)) if meta_for is not None else None,
             )
         out = {"query_id": [], "doc_id": [], "score": [], "k": []}
         if algo == "taat":
@@ -568,11 +572,20 @@ def wand_topk_sharded(
     tid_list = list(term_ids)
 
     def shard_kernel(batches):
+        import os as _os
+
         import pyarrow.parquet as pq
 
-        from ..index.blocks import _load_sidecars
+        from ..index.blocks import (
+            _PAYLOAD_KEY,
+            _PAYLOAD_TF,
+            _load_sidecars,
+            load_shard_doclen,
+        )
+        from ..index.weights import B as _B, K1 as _K1
 
         conv_map = None
+        idf_lut = None
         for pdf in batches:
             for path in pdf["path"]:
                 tbl = pq.read_table(
@@ -582,7 +595,29 @@ def wand_topk_sharded(
                 )
                 if tbl.num_rows == 0:
                     continue
-                out = bucket_kernel(tbl.to_pandas())
+                md = tbl.schema.metadata or {}
+                if md.get(_PAYLOAD_KEY) == _PAYLOAD_TF:
+                    # TF-payload shard: reconstructable exact BM25 —
+                    # per-shard denominator from the doclen sidecar,
+                    # idf per matched term from the dictionary sidecar
+                    (_ts, t_ids, _td, _cs, _bs, stats, t_idf) = (
+                        _load_sidecars(index_root)
+                    )
+                    if idf_lut is None:
+                        o = np.argsort(t_ids)
+                        idf_lut = (t_ids[o], t_idf[o])
+                    lo_v, dl = load_shard_doclen(_os.path.dirname(path))
+                    avg = float(stats["avg_doc_len"])
+                    denom = _K1 * ((1.0 - _B) + _B * (dl.astype(np.float64) / avg))
+                    tids_sorted, idf_sorted = idf_lut
+
+                    def meta_for(tid, _d=denom, _l=lo_v):
+                        j = int(np.searchsorted(tids_sorted, tid))
+                        return (float(idf_sorted[j]), _d, _l)
+
+                else:
+                    meta_for = None
+                out = bucket_kernel(tbl.to_pandas(), meta_for)
                 if len(out) == 0:
                     continue
                 if conv_map is None:
@@ -639,8 +674,9 @@ def wand_topk(index: BlockIndex, query_terms: DataFrame) -> DataFrame:
     )
     matched = index.blocks.join(F.broadcast(term_ids), "term_id", "left_semi")
 
+    bucket_kernel = _make_bucket_kernel(queries)
     local = matched.groupBy("bucket").applyInPandas(
-        _make_bucket_kernel(queries),
+        lambda pdf: bucket_kernel(pdf),
         schema="query_id string, doc_id long, score double, k int",
     )
 

@@ -161,17 +161,46 @@ def test_direct_postings_blocks_identical(spark, fixture_small, tmp_path):
          .select(*cols).collect())
     )
     assert ba == bb  # identical structure + byte-identical gap payloads
-    # weight payloads agree to the last ulp of Math.log vs numpy log
+    # the direct path stores varbyte TF and reconstructs the exact BM25
+    # double at decode (sg_payload=tfv1); decoded weights must agree with
+    # the stored-float64 path to the last ulp of Math.log vs numpy log
+    import os
+
     import numpy as np
 
+    from ir_base_spark.index.blocks import (
+        _load_sidecars,
+        decode_postings_block,
+        load_shard_doclen,
+    )
+    from ir_base_spark.index.weights import B, K1
+
+    (_ts, t_ids, _td, _cs, _bs, stats, t_idf) = _load_sidecars(root_b)
+    order = np.argsort(t_ids)
+    tids_s, idf_s = t_ids[order], t_idf[order]
+    avg = float(stats["avg_doc_len"])
     wa = {(r["term_id"], r["bucket"], r["block_seq"]): r["weights"]
           for r in spark.read.parquet(root_a + "/blocks").collect()}
-    wb = {(r["term_id"], r["bucket"], r["block_seq"]): r["weights"]
-          for r in spark.read.parquet(root_b + "/blocks").collect()}
-    for key, buf in wa.items():
-        va = np.frombuffer(buf, dtype=np.float64)
-        vb = np.frombuffer(wb[key], dtype=np.float64)
-        assert np.abs(va - vb).max(initial=0.0) < 1e-12, key
+    denoms: dict[int, tuple] = {}
+    n_checked = 0
+    for r in spark.read.parquet(root_b + "/blocks").collect():
+        pid = int(r["partition_id"])
+        if pid not in denoms:
+            lo, dl = load_shard_doclen(
+                os.path.join(root_b, "blocks", f"partition_id={pid}")
+            )
+            denoms[pid] = (lo, K1 * ((1.0 - B) + B * (dl.astype(np.float64) / avg)))
+        lo, denom = denoms[pid]
+        idf_t = float(idf_s[int(np.searchsorted(tids_s, r["term_id"]))])
+        _ids, vb = decode_postings_block(
+            r["first_doc"], r["doc_gaps"], r["weights"], (idf_t, denom, lo)
+        )
+        va = np.frombuffer(
+            wa[(r["term_id"], r["bucket"], r["block_seq"])], dtype=np.float64
+        )
+        assert np.abs(va - vb).max(initial=0.0) < 1e-12, r["term_id"]
+        n_checked += 1
+    assert n_checked == len(wa)
 
     qt = analyze_query_terms(spark, q)
     got = wand_topk_sharded(spark, root_b, qt).collect()
