@@ -398,6 +398,40 @@ def _load_sidecars(index_root: str):
     return hit
 
 
+_DERIVED_CACHE: dict = {}
+
+
+def load_query_sidecar_views(index_root: str):
+    """Worker-cached DERIVED views for the sharded query path: the
+    doc-label map (conversation bases sorted for searchsorted, conv-id
+    strings aligned) and the term_id-sorted IDF lookup. Building these
+    costs an argsort over the conversation table — once per worker per
+    BATCH it was a measured per-worker fixed cost that grows with
+    worker count (anti-scaling); keyed by the same invalidation token
+    as _load_sidecars they build once per worker per index build and
+    serve every subsequent batch.
+
+    Returns ((bases_sorted, conv_arrow_sorted), (tids_sorted,
+    idf_sorted), stats)."""
+    key = (index_root, _sidecar_token(index_root))
+    hit = _DERIVED_CACHE.get(key)
+    if hit is None:
+        import pyarrow as pa
+
+        (_ts, term_ids, _td, conv_set, bases, stats, term_idf) = (
+            _load_sidecars(index_root)
+        )
+        o = np.argsort(bases, kind="stable")
+        conv_map = (bases[o], conv_set.take(pa.array(o)))
+        t_o = np.argsort(term_ids)
+        idf_lut = (term_ids[t_o], term_idf[t_o])
+        hit = (conv_map, idf_lut, stats)
+        if len(_DERIVED_CACHE) > 4:
+            _DERIVED_CACHE.clear()
+        _DERIVED_CACHE[key] = hit
+    return hit
+
+
 def _bm25_weight_np(tf, dl, df, n_docs: float, avg: float):
     """numpy BM25, op-for-op the Catalyst expression in weights.py
     (same association order → bit-identical doubles)."""

@@ -574,18 +574,18 @@ def wand_topk_sharded(
     def shard_kernel(batches):
         import os as _os
 
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from ..index.blocks import (
             _PAYLOAD_KEY,
             _PAYLOAD_TF,
-            _load_sidecars,
+            load_query_sidecar_views,
             load_shard_doclen,
         )
         from ..index.weights import B as _B, K1 as _K1
 
-        conv_map = None
-        idf_lut = None
+        views = None
         for pdf in batches:
             for path in pdf["path"]:
                 tbl = pq.read_table(
@@ -595,17 +595,17 @@ def wand_topk_sharded(
                 )
                 if tbl.num_rows == 0:
                     continue
+                if views is None:
+                    # worker-cached across batches (anti-scaling fixed
+                    # cost otherwise: one conv-table argsort per worker
+                    # per batch, growing with worker count)
+                    views = load_query_sidecar_views(index_root)
+                conv_map, idf_lut, stats = views
                 md = tbl.schema.metadata or {}
                 if md.get(_PAYLOAD_KEY) == _PAYLOAD_TF:
                     # TF-payload shard: reconstructable exact BM25 —
                     # per-shard denominator from the doclen sidecar,
                     # idf per matched term from the dictionary sidecar
-                    (_ts, t_ids, _td, _cs, _bs, stats, t_idf) = (
-                        _load_sidecars(index_root)
-                    )
-                    if idf_lut is None:
-                        o = np.argsort(t_ids)
-                        idf_lut = (t_ids[o], t_idf[o])
                     lo_v, dl = load_shard_doclen(_os.path.dirname(path))
                     avg = float(stats["avg_doc_len"])
                     denom = _K1 * ((1.0 - _B) + _B * (dl.astype(np.float64) / avg))
@@ -620,21 +620,11 @@ def wand_topk_sharded(
                 out = bucket_kernel(tbl.to_pandas(), meta_for)
                 if len(out) == 0:
                     continue
-                if conv_map is None:
-                    import pyarrow as pa
-
-                    (_ts, _ti, _td, conv_set, bases, _st, _idf) = (
-                        _load_sidecars(index_root)
-                    )
-                    order = np.argsort(bases, kind="stable")
-                    # conv ids stay an Arrow array; only the <= k·|q|
-                    # result rows ever become Python strings
-                    conv_map = (bases[order], conv_set.take(pa.array(order)))
+                # conv ids stay an Arrow array; only the <= k·|q|
+                # result rows ever become Python strings
                 sbases, convs = conv_map
                 doc = out["doc_id"].to_numpy()
                 j = np.searchsorted(sbases, doc, side="right") - 1
-                import pyarrow as pa
-
                 out["conv_id"] = convs.take(pa.array(j)).to_pylist()
                 out["turn_idx"] = (doc - sbases[j]).astype(np.int32)
                 yield out
