@@ -291,20 +291,41 @@ def _build_wave(
     tmp_dir = os.path.join(post_root, "._tmp_wave")
     if os.path.isdir(tmp_dir):
         shutil.rmtree(tmp_dir)
+    # per-partition manifest metrics ride the WRITE job via the
+    # Observation API (CollectMetrics) as conditional aggregates — the
+    # old separate groupBy job re-read the whole wave's output, a full
+    # second pass per wave. cmin/cmax (the lineage-relevant fields) are
+    # min/max and therefore retry-idempotent; the count metrics are
+    # operational reporting and could over-count under task retries
+    # (irrelevant in local mode, acceptable for metrics at cluster
+    # scale).
+    from pyspark.sql import Observation
+
+    aggs = []
+    for pid in existing:
+        c = F.col("partition_id") == pid
+        aggs += [
+            F.count(F.when(c, 1)).alias(f"n_{pid}"),
+            F.min(F.when(c, F.col("conv_id"))).alias(f"cmin_{pid}"),
+            F.max(F.when(c, F.col("conv_id"))).alias(f"cmax_{pid}"),
+            F.sum(F.when(c, F.col("is_doc_head"))).alias(f"turns_{pid}"),
+            F.sum(F.when(c, F.col("tf"))).alias(f"terms_{pid}"),
+        ]
+    obs = Observation(f"wave_p{wave[0]}")
+    postings = postings.observe(obs, aggs[0], *aggs[1:])
     postings.write.partitionBy("partition_id").mode("overwrite").parquet(tmp_dir)
 
+    orow = obs.get
     stats = {
-        int(r["partition_id"]): r
-        for r in spark.read.parquet(tmp_dir)
-        .groupBy("partition_id")
-        .agg(
-            F.count(F.lit(1)).alias("postings"),
-            F.min("conv_id").alias("cmin"),
-            F.max("conv_id").alias("cmax"),
-            F.sum("is_doc_head").alias("turns"),
-            F.sum("tf").alias("terms"),
-        )
-        .collect()
+        pid: {
+            "postings": orow[f"n_{pid}"],
+            "cmin": orow[f"cmin_{pid}"],
+            "cmax": orow[f"cmax_{pid}"],
+            "turns": orow[f"turns_{pid}"],
+            "terms": orow[f"terms_{pid}"],
+        }
+        for pid in existing
+        if orow[f"n_{pid}"]
     }
     wall = time.time() - t0
     for pid in existing:
@@ -418,6 +439,7 @@ def finalize_lite(
     scheme: str = "BM25",
     min_df: int = 1,
     max_df: int | None = None,
+    write_docs: bool = True,
 ):
     """Metadata-only finalize for the direct postings→blocks path
     (blocks.encode_shards_from_postings): writes terms/, docs/, base/
@@ -430,7 +452,8 @@ def finalize_lite(
     Returns (InvertedIndex, base DataFrame).
     """
     return _finalize_artifacts(
-        spark, index_root, scheme=scheme, norm=0, min_df=min_df, max_df=max_df
+        spark, index_root, scheme=scheme, norm=0, min_df=min_df,
+        max_df=max_df, write_docs=write_docs,
     )
 
 
@@ -441,6 +464,7 @@ def _finalize_artifacts(
     norm: int,
     min_df: int = 1,
     max_df: int | None = None,
+    write_docs: bool = True,
 ):
     """Fused finalize core shared by finalize_lite / finalize_sharded:
     computes the dictionary, doc lengths, conversation bases and corpus
@@ -496,16 +520,21 @@ def _finalize_artifacts(
     # raw postings deliberately NOT cached — page-cached parquet
     # re-reads are cheaper than JVM cache materialization (measured)
     raw = load_postings(spark, index_root).drop("partition_id")
-    doc_lens = (
-        raw.filter(F.col("is_doc_head") == 1)
-        .select("conv_id", "turn_idx", "doc_len")
-        .cache()
+    doc_lens = raw.filter(F.col("is_doc_head") == 1).select(
+        "conv_id", "turn_idx", "doc_len"
     )
+    if write_docs:
+        # two consumers (conv aggregate + the docs export join) — pin it;
+        # with write_docs=False the conv aggregate is the only consumer
+        # (and it is itself cached inside conv_doc_base_with_stats), so
+        # the cache materialization pass would be pure overhead
+        doc_lens = doc_lens.cache()
     box: dict = {}
 
     def terms_chain():
+        # the write IS the materializing action (and populates the
+        # cache); a count() first would be one more barrier + pass
         t = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
-        t.count()
         t.write.mode("overwrite").parquet(os.path.join(index_root, "terms"))
         box["terms"] = t
 
@@ -513,15 +542,24 @@ def _finalize_artifacts(
         base, n_docs, avg_doc_len = conv_doc_base_with_stats(doc_lens)
         box["base"] = base
         box["stats"] = (n_docs, avg_doc_len)
-        docs = assign_doc_ids(doc_lens, base=base)
-        _parallel_jobs(
+        writes = [
             lambda: base.write.mode("overwrite").parquet(
                 os.path.join(index_root, "base")
-            ),
-            lambda: docs.write.mode("overwrite").parquet(
-                os.path.join(index_root, "docs")
-            ),
-        )
+            )
+        ]
+        if write_docs:
+            # the turn-level docs export is a CONVENIENCE table: the
+            # queryable index needs only terms/ base/ stats + blocks
+            # (doc_id = base[conv] + turn_idx by construction, labels
+            # resolve from base/ in-kernel). At 10^12 turns callers
+            # skip this redundant full-corpus write.
+            docs = assign_doc_ids(doc_lens, base=base)
+            writes.append(
+                lambda: docs.write.mode("overwrite").parquet(
+                    os.path.join(index_root, "docs")
+                )
+            )
+        _parallel_jobs(*writes)
 
     _parallel_jobs(terms_chain, docs_chain)
     n_docs, avg_doc_len = box["stats"]
