@@ -588,6 +588,11 @@ LAMBDARANK_HP = dict(rate=0.5, lambda_=1.0, lr=0.5, iters=8, shrinkage=0.9)
 RANKSVM_HP = dict(lambda_=1.0, lr=0.5, iters=12, shrinkage=0.9)
 
 
+LAMBDARANK_PAR_HP = dict(
+    workers=4, rate=0.5, lambda_=1.0, lr=0.5, iters=6, shrinkage=0.9
+)
+
+
 def q_ranknet_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RankNet trained on z-scored ranking features: pairs by label,
     difference vectors, deterministic full-batch GD (ops/ranknet.py).
@@ -652,6 +657,32 @@ def q_lambdarank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "doc_id"],
     )
     beta = lambdarank_train(per_doc, diffs, zcols, **LAMBDARANK_HP)
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(i, float(round(b, 6))) for i, b in enumerate(beta)],
+        "dim int, weight6 double",
+    )
+
+
+def q_lambdarank_parallel_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LambdaRankParallel's train/average cycle, deterministic analog:
+    md5-hash query partitioning, one full-batch LambdaRank step per
+    worker partition per outer iteration, uniform weight averaging
+    (ops/lambdarank.lambdarank_parallel_train). Output (dim, weight6)."""
+    from ir_base_spark.ops.lambdarank import lambdarank_parallel_train
+
+    feats, labeled, diffs, zcols = _l2r_training_tables(spark, sf_dir)
+    per_doc = labeled.join(
+        feats.select(
+            F.col("query_doc").alias("query_id"), "doc_id", *zcols
+        ),
+        ["query_id", "doc_id"],
+    )
+    beta = lambdarank_parallel_train(
+        per_doc, diffs, zcols, **LAMBDARANK_PAR_HP
+    )
     feats.unpersist()
     return spark.createDataFrame(
         [(i, float(round(b, 6))) for i, b in enumerate(beta)],
@@ -725,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_features_z": q_ranking_features_z,
         "ranknet_weights": q_ranknet_weights,
         "lambdarank_weights": q_lambdarank_weights,
+        "lambdarank_parallel_weights": q_lambdarank_parallel_weights,
         "ranksvm_weights": q_ranksvm_weights,
         "child_ranking_lm": q_child_ranking_lm,
         "confusion_matrix": q_confusion_matrix,
@@ -1565,6 +1597,9 @@ FROM rf CROSS JOIN mom
     orc["ranknet_weights"] = _ranknet_sql(orc["ranking_features_z"])
     orc["lambdarank_weights"] = _lambdarank_sql(orc["ranking_features_z"])
     orc["ranksvm_weights"] = _ranksvm_sql(orc["ranking_features_z"])
+    orc["lambdarank_parallel_weights"] = _lambdarank_parallel_sql(
+        orc["ranking_features_z"]
+    )
     orc.update(_dedup_golden_sqls())
     return orc
 
@@ -1864,6 +1899,121 @@ def _ranksvm_sql(rfz_sql: str) -> str:
         parts.append(
             f"b{t} AS MATERIALIZED (SELECT {bsel} FROM b{t - 1} "
             f"CROSS JOIN g{t} CROSS JOIN cnt)"
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT {i} AS dim, round(w{i}, 6) AS weight6 FROM b{iters}"
+        for i in range(nz)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _lambdarank_parallel_sql(rfz_sql: str) -> str:
+    """LambdaRankParallel's deterministic analog unrolled: per outer
+    iteration one |ΔMAP|-weighted gradient aggregation GROUPED BY the
+    md5 worker partition, per-partition steps extracted by conditional
+    aggregation, averaged in pinned ascending-partition order —
+    identical float association to
+    ops/lambdarank.lambdarank_parallel_train."""
+    zc = [f"{c}_z" for c in RANKFV_COLS]
+    nz = len(zc)
+    hp = LAMBDARANK_PAR_HP
+    W, rate, lam = hp["workers"], hp["rate"], hp["lambda_"]
+    lr, sh, iters = hp["lr"], hp["shrinkage"], hp["iters"]
+    lam_w = lam / W
+    diff_cols = ",\n         ".join(
+        f"(bf.{c} - wf.{c}) AS x{i}" for i, c in enumerate(zc)
+    )
+    feat_cols = ",\n         ".join(
+        f"rf.{c} AS f{i}" for i, c in enumerate(zc)
+    )
+    zero_w = ", ".join(f"0.0 AS w{i}" for i in range(nz))
+    score = " + ".join(f"f{i} * w{i}" for i in range(nz))
+    parts = [
+        f"rfz AS MATERIALIZED ({rfz_sql})",
+        _RANKED_SQL,
+        f"""base AS MATERIALIZED (
+  SELECT ra.query_id, ra.doc_id, ra.label,
+         {feat_cols}
+  FROM ranked ra
+  JOIN rfz rf ON rf.query_doc = ra.query_id AND rf.doc_id = ra.doc_id
+)""",
+        """pstats AS MATERIALIZED (
+  SELECT query_id,
+         sum(CASE WHEN label > 0 THEN 1.0 ELSE 0.0 END) AS p_rel
+  FROM base GROUP BY query_id
+)""",
+        _RP_SQL,
+        f"""diffs AS MATERIALIZED (
+  SELECT rp.query_id, rp.better_doc, rp.worse_doc,
+         CAST(('0x' || substring(md5(CAST(rp.query_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {W} AS part,
+         {diff_cols}
+  FROM rp
+  JOIN rfz bf ON bf.query_doc = rp.query_id AND bf.doc_id = rp.better_doc
+  JOIN rfz wf ON wf.query_doc = rp.query_id AND wf.doc_id = rp.worse_doc
+)""",
+        f"b0 AS MATERIALIZED (SELECT {zero_w})",
+    ]
+    for t in range(1, iters + 1):
+        mu = lr * (sh ** (t - 1))
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, ({score}) AS s
+  FROM base CROSS JOIN b{t - 1}
+)"""
+        )
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, s,
+         sum(1.0 / CAST(pos AS DOUBLE)) OVER (
+             PARTITION BY query_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumh
+  FROM (SELECT query_id, doc_id, s,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY s DESC, doc_id ASC) AS pos
+        FROM s{t})
+)"""
+        )
+        gsel = ", ".join(
+            f"sum((-({rate!r} + abs(rb.cumh - rw.cumh) / p.p_rel)"
+            f" / (1.0 + exp(rb.s - rw.s))) * d.x{i}) AS g{i}"
+            for i in range(nz)
+        )
+        parts.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT d.part, CAST(count(*) AS DOUBLE) AS n_p, {gsel}
+  FROM diffs d
+  JOIN r{t} rb ON rb.query_id = d.query_id AND rb.doc_id = d.better_doc
+  JOIN r{t} rw ON rw.query_id = d.query_id AND rw.doc_id = d.worse_doc
+  JOIN pstats p ON p.query_id = d.query_id
+  GROUP BY d.part
+)"""
+        )
+        # per-partition scalars via conditional aggregation
+        gx = []
+        for p in range(W):
+            gx.append(f"max(CASE WHEN part = {p} THEN n_p END) AS n_{p}")
+            gx += [
+                f"max(CASE WHEN part = {p} THEN g{i} END) AS g{p}_{i}"
+                for i in range(nz)
+            ]
+        parts.append(
+            f"gx{t} AS MATERIALIZED (SELECT {', '.join(gx)} FROM g{t})"
+        )
+        # averaged stepped weights, ascending-partition association
+        bsel = []
+        for i in range(nz):
+            steps = " + ".join(
+                f"COALESCE(w{i} - {mu!r} * (g{p}_{i} / (2.0 * n_{p})"
+                f" + {lam_w!r} * w{i}),"
+                f" w{i} - {mu!r} * ({lam_w!r} * w{i}))"
+                for p in range(W)
+            )
+            bsel.append(f"({steps}) / {float(W)!r} AS w{i}")
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT {', '.join(bsel)} "
+            f"FROM b{t - 1} CROSS JOIN gx{t})"
         )
     final = "\nUNION ALL\n".join(
         f"SELECT {i} AS dim, round(w{i}, 6) AS weight6 FROM b{iters}"

@@ -111,6 +111,8 @@ def two_phase_cumsum(
     value_col: str,
     out_col: str = "cum_before",
     num_partitions: int = 32,
+    extra_sums: list[str] | None = None,
+    totals_out: dict | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` under ``order_col`` order,
     fully distributed: range-partition on the key, window-cumsum within
@@ -136,9 +138,16 @@ def two_phase_cumsum(
     # a fresh boundary sample; the checkpoint truncates lineage so the
     # boundaries observed by the offsets job are the only ones possible.
     local = with_pid.withColumn("_cum", F.sum(value_col).over(w)).localCheckpoint()
-    sums = (
-        local.groupBy("_pid").agg(F.sum(value_col).alias("s")).orderBy("_pid").collect()
-    )
+    # piggyback requested column totals on the SAME offsets job
+    # (extra_sums/totals_out) — a separate totals aggregation would be
+    # one more driver barrier on the finalize critical path
+    aggs = [F.sum(value_col).alias("s")] + [
+        F.sum(c).alias(f"_x_{c}") for c in (extra_sums or [])
+    ]
+    sums = local.groupBy("_pid").agg(*aggs).orderBy("_pid").collect()
+    if totals_out is not None:
+        for c in extra_sums or []:
+            totals_out[c] = sum(int(r[f"_x_{c}"] or 0) for r in sums)
     offsets = {}
     acc = 0
     for row in sums:
@@ -208,19 +217,22 @@ def conv_doc_base_with_stats(
     # the cumsum's boundary-sampling pass and its shuffle pass would
     # otherwise each re-run this full doc_lens aggregation; the conv
     # table is tiny, so cache it for the second pass and release after
-    # the checkpoint inside two_phase_cumsum has materialized
+    # the checkpoint inside two_phase_cumsum has materialized. The
+    # corpus totals ride the cumsum's own offsets collect — zero extra
+    # jobs for stats.
     ext = doc_lens.groupBy("conv_id").agg(
         (F.max("turn_idx") + 1).cast("long").alias("_n"),
         F.count(F.lit(1)).alias("_cnt"),
         F.sum("doc_len").cast("long").alias("_sum"),
     ).cache()
-    cum = two_phase_cumsum(ext, "conv_id", "_n", "base", num_partitions=num_partitions)
+    totals: dict = {}
+    cum = two_phase_cumsum(
+        ext, "conv_id", "_n", "base", num_partitions=num_partitions,
+        extra_sums=["_cnt", "_sum"], totals_out=totals,
+    )
     ext.unpersist()
-    row = cum.agg(
-        F.sum("_cnt").alias("c"), F.sum("_sum").alias("s")
-    ).collect()[0]
-    n_docs = int(row["c"] or 0)
-    avg = (float(row["s"]) / n_docs) if n_docs else 0.0
+    n_docs = int(totals.get("_cnt") or 0)
+    avg = (float(totals["_sum"]) / n_docs) if n_docs else 0.0
     return cum.select("conv_id", "base"), n_docs, avg
 
 

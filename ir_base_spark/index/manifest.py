@@ -154,20 +154,28 @@ def conv_partition_map(
     transcripts: DataFrame, num_partitions: int
 ) -> DataFrame:
     """(conv_id, partition_id): deterministic conv-RANGE split balanced
-    by raw turn count.
+    by raw text bytes.
 
     Conversations are ordered by conv_id and packed into ``num_partitions``
-    contiguous ranges of ~equal total turns (two-phase distributed prefix
-    sum — no sampling, so the assignment is reproducible under restart,
-    unlike repartitionByRange). Because doc ids ascend in (conv_id,
-    turn_idx), each partition owns a CONTIGUOUS doc-id range: the doc
-    shard IS the posting-block bucket, which is what lets the block build
-    run with zero posting-level shuffle (blocks.encode_shards).
+    contiguous ranges of ~equal total TEXT BYTES (two-phase distributed
+    prefix sum — no sampling, so the assignment is reproducible under
+    restart, unlike repartitionByRange). Bytes, not turns: tokenize cost
+    and postings volume follow text length, and under a Zipf turn-length
+    distribution turn-balanced ranges left one straggler task per build
+    wave — the last finisher's solo tail was the dominant non-scaling
+    term of the build at high core counts (each turn also carries a
+    small constant so metadata-ish empty turns still weigh). Because
+    doc ids ascend in (conv_id, turn_idx), each partition owns a
+    CONTIGUOUS doc-id range: the doc shard IS the posting-block bucket,
+    which is what lets the block build run with zero posting-level
+    shuffle (blocks.encode_shards).
     """
     from .dictionary import two_phase_cumsum
 
     ext = transcripts.groupBy("conv_id").agg(
-        (F.max("turn_idx") + 1).cast("long").alias("_n")
+        F.sum(
+            F.octet_length(F.coalesce(F.col("text"), F.lit(""))) + F.lit(16)
+        ).cast("long").alias("_n")
     )
     cum = two_phase_cumsum(ext, "conv_id", "_n", "cum_before")
     pid = F.least(
@@ -313,9 +321,17 @@ def _build_wave(
         ]
     obs = Observation(f"wave_p{wave[0]}")
     postings = postings.observe(obs, aggs[0], *aggs[1:])
+    _dbg = os.environ.get("SPARK_GRAFT_PHASE_DEBUG")
+    _tw = time.time()
     postings.write.partitionBy("partition_id").mode("overwrite").parquet(tmp_dir)
+    if _dbg:
+        print(f"    wave write: {time.time()-_tw:.2f}s", flush=True)
+        _tw = time.time()
 
     orow = obs.get
+    if _dbg:
+        print(f"    wave obs.get: {time.time()-_tw:.2f}s", flush=True)
+        _tw = time.time()
     stats = {
         pid: {
             "postings": orow[f"n_{pid}"],
@@ -361,6 +377,8 @@ def _build_wave(
             os.path.join(_manifest_dir(index_root), f"p{pid}.json"), asdict(m)
         )
         out.append(m)
+    if _dbg:
+        print(f"    wave promote: {time.time()-_tw:.2f}s", flush=True)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return out
 

@@ -153,6 +153,148 @@ def lambdarank_train(
     return beta
 
 
+def partition_col(query_col: str = "query_id", workers: int = 4):
+    """Deterministic query→worker assignment for the parallel trainer:
+    the first 8 hex digits of md5(query_id) mod ``workers`` — portable
+    (identical in Spark, DuckDB, and hashlib), replacing the
+    reference's Random.nextInt allocation
+    (LambdaRankParallel.allocateQueries,
+    /root/reference/src/Ranker/LambdaRankParallel.java:35-48) so a
+    distributed rerun reproduces the same partitioning."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(query_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(workers),
+    )
+
+
+def lambdarank_parallel_train(
+    features: DataFrame,
+    pair_diffs: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    workers: int = 4,
+    rate: float = 0.5,
+    lambda_: float = 1.0,
+    lr: float = 0.5,
+    iters: int = 8,
+    shrinkage: float = 0.9,
+) -> list[float]:
+    """Deterministic analog of LambdaRankParallel: per outer iteration,
+    every worker partition takes ONE full-batch LambdaRank step over
+    ITS queries from the shared weights, and the stepped weight vectors
+    are averaged uniformly — the reference's train/average cycle
+    (LambdaRankParallel.train,
+    /root/reference/src/Ranker/LambdaRankParallel.java:112-126, averaging
+    `:122-125` with weight 1/W; each worker runs with λ/W,
+    `initWorkers` `:50-56`).
+
+    Pinned for reproducibility like the other trainers: hash
+    partitioning instead of Random.nextInt re-allocation each
+    iteration, one deterministic step per worker per outer iteration
+    instead of an SGD pass, β₀ = 0, μ_t = lr·shrinkage^t, and the
+    average evaluated in ascending partition order.
+
+    Spark shape: identical to lambdarank_train except the gradient
+    aggregation is grouped by the (tiny) worker-partition key — W rows
+    of 10 sums + a pair count come back per iteration instead of 1.
+    """
+    base = features.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(label_col).alias("label"),
+        *feature_cols,
+    ).cache()
+    pstats = base.groupBy("query_id").agg(
+        F.sum((F.col("label") > 0).cast("double")).alias("p_rel")
+    )
+    diffs = pair_diffs.withColumn(
+        "_part", partition_col("query_id", workers)
+    ).cache()
+    n = diffs.count()
+    if n == 0:
+        diffs.unpersist()
+        base.unpersist()
+        return [0.0] * len(feature_cols)
+
+    lam_w = lambda_ / workers
+    beta = [0.0] * len(feature_cols)
+    w_rank = Window.partitionBy("query_id")
+    for t in range(iters):
+        s = _dot_expr(feature_cols, beta)
+        scored = base.withColumn("_s", s).withColumn(
+            "_pos",
+            F.row_number().over(
+                w_rank.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+            ),
+        )
+        ranked = scored.withColumn(
+            "_cumh",
+            F.sum(F.lit(1.0) / F.col("_pos")).over(
+                w_rank.orderBy("_pos").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).select("query_id", "doc_id", "_s", "_cumh")
+        rb = ranked.select(
+            "query_id",
+            F.col("doc_id").alias("better_doc"),
+            F.col("_s").alias("_s_b"),
+            F.col("_cumh").alias("_h_b"),
+        )
+        rw = ranked.select(
+            "query_id",
+            F.col("doc_id").alias("worse_doc"),
+            F.col("_s").alias("_s_w"),
+            F.col("_cumh").alias("_h_w"),
+        )
+        j = (
+            diffs.join(rb, ["query_id", "better_doc"])
+            .join(rw, ["query_id", "worse_doc"])
+            .join(F.broadcast(pstats), "query_id")
+        )
+        delta = F.lit(rate) + F.abs(
+            F.col("_h_b") - F.col("_h_w")
+        ) / F.col("p_rel")
+        m = F.col("_s_b") - F.col("_s_w")
+        coef = -delta / (F.lit(1.0) + F.exp(m))
+        rows = (
+            j.groupBy("_part")
+            .agg(
+                F.count(F.lit(1)).alias("_n_p"),
+                *[
+                    F.sum(coef * F.col(c)).alias(f"g_{c}")
+                    for c in feature_cols
+                ],
+            )
+            .collect()
+        )
+        by_part = {int(r["_part"]): r for r in rows}
+        mu = lr * (shrinkage ** t)
+        new_beta = []
+        for i, c in enumerate(feature_cols):
+            acc = 0.0
+            for p in range(workers):  # pinned ascending-partition order
+                r = by_part.get(p)
+                if r is None:
+                    stepped = beta[i] - mu * (lam_w * beta[i])
+                else:
+                    g = float(r[f"g_{c}"] or 0.0)
+                    n_p = float(r["_n_p"])
+                    stepped = beta[i] - mu * (
+                        g / (2.0 * n_p) + lam_w * beta[i]
+                    )
+                acc = acc + stepped
+            new_beta.append(acc / workers)
+        beta = new_beta
+    diffs.unpersist()
+    base.unpersist()
+    return beta
+
+
 def ranksvm_train(
     pair_diffs: DataFrame,
     feature_cols: list[str],

@@ -129,3 +129,104 @@ def test_ranksvm_matches_numpy_and_learns(spark):
         np.dot(beta, true_w) / (np.linalg.norm(beta) * np.linalg.norm(true_w))
     )
     assert cos > 0.9
+
+
+def _numpy_lambdarank_parallel(
+    feats, labels, qids, pairs, workers=4, rate=0.5, lambda_=1.0,
+    lr=0.5, iters=6, shrinkage=0.9,
+):
+    """Single-node replica of lambdarank_parallel_train: md5-hash query
+    partitioning, one delta-weighted step per partition per outer
+    iteration, pinned-order uniform averaging. ``qids`` maps doc index
+    -> query id; pairs are (better, worse) doc indices within a query.
+    """
+    import hashlib
+
+    n_docs, d = feats.shape
+    part_of = {
+        q: int(hashlib.md5(q.encode()).hexdigest()[:8], 16) % workers
+        for q in set(qids)
+    }
+    lam_w = lambda_ / workers
+    beta = np.zeros(d)
+    groups = {}
+    for i, q in enumerate(qids):
+        groups.setdefault(q, []).append(i)
+    for t in range(iters):
+        s = feats @ beta
+        cumh = np.empty(n_docs)
+        p_rel = {}
+        for q, docs in groups.items():
+            order = sorted(docs, key=lambda i: (-s[i], i))
+            hs = np.cumsum(1.0 / np.arange(1, len(docs) + 1))
+            for pos, i in enumerate(order):
+                cumh[i] = hs[pos]
+            p_rel[q] = float(sum(labels[i] > 0 for i in docs))
+        g = {p: np.zeros(d) for p in range(workers)}
+        n_p = {p: 0 for p in range(workers)}
+        for a, b in pairs:
+            q = qids[a]
+            p = part_of[q]
+            delta = rate + abs(cumh[a] - cumh[b]) / p_rel[q]
+            m = s[a] - s[b]
+            g[p] += (-delta / (1.0 + np.exp(m))) * (feats[a] - feats[b])
+            n_p[p] += 1
+        mu = lr * (shrinkage ** t)
+        new_beta = np.zeros(d)
+        for i in range(d):
+            acc = 0.0
+            for p in range(workers):
+                if n_p[p]:
+                    stepped = beta[i] - mu * (
+                        g[p][i] / (2.0 * n_p[p]) + lam_w * beta[i]
+                    )
+                else:
+                    stepped = beta[i] - mu * (lam_w * beta[i])
+                acc = acc + stepped
+            new_beta[i] = acc / workers
+        beta = new_beta
+    return beta
+
+
+def test_lambdarank_parallel_matches_numpy(spark):
+    from ir_base_spark.ops.lambdarank import lambdarank_parallel_train
+    from ir_base_spark.ops.ranknet import pair_feature_diffs
+
+    rng = np.random.default_rng(11)
+    d, n_docs, n_queries = 4, 48, 6
+    true_w = np.array([2.0, -1.0, 0.5, 0.0])
+    feats = rng.standard_normal((n_docs, d))
+    score = feats @ true_w
+    label = (score > np.median(score)).astype(int)
+    qids = [f"q{i % n_queries}" for i in range(n_docs)]
+
+    fcols = [f"f{i}" for i in range(d)]
+    fpdf = pd.DataFrame(feats, columns=fcols)
+    fpdf.insert(0, "label", label)
+    fpdf.insert(0, "doc_id", range(n_docs))
+    fpdf.insert(0, "query_id", qids)
+    fdf = spark.createDataFrame(fpdf)
+    pair_list = [
+        (a, b) if label[a] > label[b] else (b, a)
+        for a in range(n_docs)
+        for b in range(a + 1, n_docs)
+        if qids[a] == qids[b] and label[a] != label[b]
+    ]
+    pairs = spark.createDataFrame(
+        [(qids[a], a, b) for a, b in pair_list],
+        "query_id string, better_doc long, worse_doc long",
+    )
+    diffs = pair_feature_diffs(pairs, fdf, fcols)
+    beta = lambdarank_parallel_train(
+        fdf, diffs, fcols, workers=4, lambda_=0.1, lr=0.5, iters=6
+    )
+    expect = _numpy_lambdarank_parallel(
+        feats, label, qids, pair_list, workers=4, lambda_=0.1,
+        lr=0.5, iters=6,
+    )
+    assert np.allclose(np.array(beta), expect, atol=1e-9), (beta, expect)
+    # averaging across partitions still learns the generating direction
+    cos = float(
+        np.dot(beta, true_w) / (np.linalg.norm(beta) * np.linalg.norm(true_w))
+    )
+    assert cos > 0.7

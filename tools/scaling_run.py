@@ -350,6 +350,18 @@ def main() -> None:
         "Per-shard encode phase timings (read/map/sort/encode/write) are",
         "reported by `encode_shards_from_postings` and",
         "`tools/encode_probe.py`.",
+        "",
+        "Round-4 measurement-comparability notes (vs scaling.json r<=3):",
+        "(a) finalize is the fused two-chain version and the timed",
+        "pipeline no longer writes the redundant turn-level docs/ export",
+        "(doc_id = base[conv] + turn_idx by construction; labels resolve",
+        "from the base/ sidecar in-kernel — at 10^12 turns no production",
+        "build would materialize that table); (b) blocks use the",
+        "TF-payload format (varbyte term frequencies, exact BM25",
+        "reconstructed at decode — ~2.6x fewer payload bytes, which is",
+        "deliberate bus-relief for the shared-bus phases); (c) the",
+        "production batch route is recorded under batch_auto_sec",
+        "(rounds <= 3 recorded the same route as wand_sec).",
     ]
     if not args.tag:
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
