@@ -597,9 +597,13 @@ def encode_shards_from_postings(
                 out_path = os.path.join(out_dir, "blocks.parquet")
                 tmp = out_path + f".tmp{os.getpid()}"
                 pq.write_table(enc, tmp, row_group_size=4096)
-                os.replace(tmp, out_path)
+                # sidecar BEFORE the blocks rename: a TF-payload block
+                # file must never be visible without its doc-length
+                # sidecar (decode would fail); the reverse order is
+                # harmless (mtime-keyed cache, orphan sidecar unused)
                 if enc.num_rows:
                     _write_shard_doclen(out_dir, lo, dl_acc)
+                os.replace(tmp, out_path)
                 t_write = _t.time()
                 yield pd.DataFrame(
                     {

@@ -108,6 +108,207 @@ def _vectorized_unigram_batch(
     )
 
 
+_COARSE_CACHE: dict[str, dict[str, tuple[str, ...]]] = {}
+
+
+# separator-category chars whose NFKC expansion CONTAINS word chars
+# (™ -> "tm", № -> "No", circled letters, CJK compat squares, ...):
+# they must stay inside coarse tokens so the per-token NFKC + precise
+# re-tokenization reproduces the full-text-NFKC token stream exactly.
+# Generated from unicodedata (Unicode version pinned by the container);
+# 900 code points in 31 ranges.
+_NFKC_WORDISH = (
+    r"\x{20A8}\x{2100}-\x{2101}\x{2103}\x{2105}-\x{2106}\x{2109}"
+    r"\x{2116}\x{2120}-\x{2122}\x{213B}\x{249C}-\x{24E9}\x{2E9F}"
+    r"\x{2EF3}\x{2F00}-\x{2FD5}\x{3196}-\x{319F}\x{3200}-\x{321E}"
+    r"\x{322A}-\x{3247}\x{3250}\x{3260}-\x{327E}\x{328A}-\x{32B0}"
+    r"\x{32C0}-\x{33FF}\x{FDFC}\x{FE33}-\x{FE34}\x{FE4D}-\x{FE4F}"
+    r"\x{FF3F}\x{1F110}-\x{1F12E}\x{1F130}-\x{1F14F}"
+    r"\x{1F16A}-\x{1F16C}\x{1F190}\x{1F200}-\x{1F202}"
+    r"\x{1F210}-\x{1F23B}\x{1F240}-\x{1F248}\x{1F250}-\x{1F251}"
+)
+
+# RE2 split class over RAW text: Python's \w is exactly [\p{L}\p{N}_];
+# marks (\p{M}) stay attached so combining sequences never split before
+# the per-token NFKC composes them; apostrophe glues TOKEN_RE word
+# chains; _NFKC_WORDISH keeps compatibility-expanding chars inside.
+COARSE_SPLIT_RE2 = r"[^\p{L}\p{N}\p{M}_'" + _NFKC_WORDISH + "]+"
+
+
+def _analyze_coarse(raw: str, analyzer: str) -> tuple[str, ...]:
+    """Final legit stems of ONE coarse token (see _arrow_unigram_batch):
+    NFKC (full-text order: normalize precedes tokenization), then the
+    precise TOKEN_RE re-tokenization + normalize/stem/filter — on
+    DISTINCT coarse tokens only. Apostrophe edge cases like ``a''b``
+    (two word tokens under TOKEN_RE, one coarse token under the C++
+    split) and compatibility expansions (½ -> 1⁄2 -> two length-1
+    digit tokens) resolve exactly as the per-text Python path would."""
+    import unicodedata
+
+    from ir_base_spark.text.analyze import TOKEN_RE, _analyze_token
+
+    out = []
+    for tok in TOKEN_RE.findall(unicodedata.normalize("NFKC", raw)):
+        hit = _analyze_token(tok)
+        if hit is not None and hit[1]:
+            out.append(hit[0])
+    return tuple(out)
+
+
+def _arrow_unigram_batch(
+    batch, text_col: str, analyzer: str, min_distinct_terms: int
+):
+    """Arrow-native tokenize+count for one RecordBatch (ngrams=1).
+
+    The per-character work — NFKC normalize, token-boundary regex,
+    flatten, distinct-encoding — runs in Arrow C++ over the batch
+    (pandas ``.str`` ops are per-row Python under the hood: measured 3x
+    slower, and they materialize every text and token as a Python
+    object, which is exactly the allocation/bus traffic the build's
+    scaling lacks headroom for). Python touches only DISTINCT coarse
+    tokens (memoized per worker, Zipf → amortized to ~zero).
+
+    Coarse split class COARSE_SPLIT_RE2 == the complement of Python's
+    ``\\w`` plus apostrophe, marks and NFKC-wordish chars: a TOKEN_RE
+    word token never spans a split point (word tokens are [\\w'] runs),
+    punctuation-run tokens die in normalization anyway, and any
+    apostrophe-glued compound or compatibility expansion is re-tokenized
+    precisely in _analyze_coarse — output is exactly the pandas path's
+    (asserted by tests/test_tokenize_arrow.py).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("term", pa.string()),
+            ("tf", pa.float64()),
+            ("doc_len", pa.float64()),
+            ("is_doc_head", pa.int32()),
+        ]
+    )
+    text = pc.fill_null(batch.column(text_col), "")
+    if analyzer == "simple":
+        split = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z0-9]+")
+    else:
+        # split RAW text (pyarrow's utf8_normalize emits decomposed
+        # output even for NFKC — unusable); _analyze_coarse applies the
+        # real NFKC per distinct token, and COARSE_SPLIT_RE2 is built so
+        # raw boundaries are also post-NFKC token boundaries
+        split = pc.split_pattern_regex(text, pattern=COARSE_SPLIT_RE2)
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split)
+    ne = pc.not_equal(flat, "")
+    flat = pc.filter(flat, ne)
+    parent = pc.filter(parent, ne)
+    if len(flat) == 0:
+        return pa.RecordBatch.from_pydict(
+            {f.name: pa.array([], type=f.type) for f in schema}, schema=schema
+        )
+    d = pc.dictionary_encode(flat)
+    dict_vals = d.dictionary.to_pylist()
+
+    final_ids: dict[str, int] = {}
+    final_terms: list[str] = []
+    map_single = np.empty(len(dict_vals), dtype=np.int64)
+    multi: dict[int, list[int]] = {}
+    if analyzer == "simple":
+        # simple tokens pass through unanalyzed (SQL-equivalent mode)
+        final_terms = dict_vals
+        map_single = np.arange(len(dict_vals), dtype=np.int64)
+    else:
+        cache = _COARSE_CACHE.setdefault(analyzer, {})
+        for di, raw in enumerate(dict_vals):
+            stems = cache.get(raw)
+            if stems is None:
+                if len(cache) > 2_000_000:
+                    cache.clear()
+                stems = _analyze_coarse(raw, analyzer)
+                cache[raw] = stems
+            if len(stems) == 1:
+                s = stems[0]
+                fid = final_ids.setdefault(s, len(final_terms))
+                if fid == len(final_terms):
+                    final_terms.append(s)
+                map_single[di] = fid
+            elif not stems:
+                map_single[di] = -1
+            else:
+                fids = []
+                for s in stems:
+                    fid = final_ids.setdefault(s, len(final_terms))
+                    if fid == len(final_terms):
+                        final_terms.append(s)
+                    fids.append(fid)
+                map_single[di] = -2
+                multi[di] = fids
+
+    tok_di = d.indices.to_numpy().astype(np.int64, copy=False)
+    tok_row = parent.to_numpy().astype(np.int64, copy=False)
+    fid = map_single[tok_di]
+    keep = fid >= 0
+    row_k = tok_row[keep]
+    fid_k = fid[keep]
+    if multi:
+        er: list[int] = []
+        ef: list[int] = []
+        for p in np.flatnonzero(fid == -2):
+            r = int(tok_row[p])
+            for f in multi[int(tok_di[p])]:
+                er.append(r)
+                ef.append(f)
+        row_k = np.concatenate([row_k, np.asarray(er, dtype=np.int64)])
+        fid_k = np.concatenate([fid_k, np.asarray(ef, dtype=np.int64)])
+    if row_k.size == 0:
+        return pa.RecordBatch.from_pydict(
+            {f.name: pa.array([], type=f.type) for f in schema}, schema=schema
+        )
+
+    # TF per (row, term): one sorted-unique pass over a composite int key
+    nf = len(final_terms)
+    key = row_k * nf + fid_k
+    ukey, counts = np.unique(key, return_counts=True)
+    ui = ukey // nf
+    uf = ukey % nf
+    # per-doc distinct-term count + analyzed length (rows of one doc are
+    # contiguous in the sorted key order)
+    uniq_rows, inv = np.unique(ui, return_inverse=True)
+    sizes = np.bincount(inv)
+    sums = np.bincount(inv, weights=counts)
+    keep_doc = sizes > min_distinct_terms
+    sel = keep_doc[inv]
+    if not sel.all():
+        ui = ui[sel]
+        uf = uf[sel]
+        counts = counts[sel]
+        inv = inv[sel]
+    if ui.size == 0:
+        return pa.RecordBatch.from_pydict(
+            {f.name: pa.array([], type=f.type) for f in schema}, schema=schema
+        )
+    head = np.empty(ui.shape, dtype=np.int32)
+    head[0] = 1
+    head[1:] = (ui[1:] != ui[:-1]).astype(np.int32)
+
+    rows_idx = pa.array(ui)
+    out_conv = pc.take(batch.column("conv_id"), rows_idx)
+    out_turn = pc.cast(pc.take(batch.column("turn_idx"), rows_idx), pa.int32())
+    out_term = pc.take(pa.array(final_terms, type=pa.string()), pa.array(uf))
+    return pa.RecordBatch.from_arrays(
+        [
+            out_conv,
+            out_turn,
+            out_term,
+            pa.array(counts.astype(np.float64)),
+            pa.array(sums[inv]),
+            pa.array(head),
+        ],
+        schema=schema,
+    )
+
+
 def tokenize_turns(
     transcripts: DataFrame,
     ngrams: int = 1,
@@ -127,16 +328,23 @@ def tokenize_turns(
     cols = ["conv_id", "turn_idx", text_col]
     vectorized = ngrams == 1 and analyzer in ("reference", "simple")
 
+    if vectorized:
+        # Arrow-native hot path: the input batches never become pandas
+        # (no Python string materialization for texts or tokens)
+        def arrow_partition(batches):
+            for batch in batches:
+                yield _arrow_unigram_batch(
+                    batch, text_col, analyzer, min_distinct_terms
+                )
+
+        return transcripts.select(*cols).mapInArrow(
+            arrow_partition, schema=POSTINGS_SCHEMA
+        )
+
     def analyze_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ir_base_spark.text.analyze import term_counts
 
         for pdf in batches:
-            if vectorized:
-                pdf = pdf.reset_index(drop=True)
-                yield _vectorized_unigram_batch(
-                    pdf, text_col, analyzer, min_distinct_terms
-                )
-                continue
             # n-gram path: sequential chain-break window per turn
             conv_ids: list[str] = []
             turn_idxs: list[int] = []

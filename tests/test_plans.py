@@ -65,7 +65,9 @@ def test_no_row_at_a_time_python(spark, sf_dir):
     plans.append(_plan(idx.weights))
     for plan in plans:
         assert "BatchEvalPython" not in plan
-    assert "MapInPandas" in plans[-1]  # tokenizer is Arrow-batched
+    # tokenizer is Arrow-NATIVE (mapInArrow — the batch never even
+    # becomes pandas); plan node name differs across Spark versions
+    assert any(m in plans[-1] for m in ("MapInArrow", "PythonMapInArrow"))
 
 
 def test_dictionary_join_is_broadcast(spark, sf_dir):

@@ -44,7 +44,22 @@ def test_incremental_ingest(spark, fixture_small, tmp_path):
     got_all = load_stream_postings(spark, root)
     exp_all = tokenize_turns(spark.createDataFrame(t))
     assert got_all.count() == exp_all.count()
-    # content equivalence with the batch kernel
-    a = {tuple(r) for r in got_all.drop("epoch").collect()}
-    b = {tuple(r) for r in exp_all.collect()}
-    assert a == b
+    # content equivalence with the batch kernel: postings multiset equal;
+    # the is_doc_head flag marks SOME single row per doc (which row is an
+    # internal, batch-composition-dependent choice of the Arrow kernel)
+    def norm(rows):
+        postings = sorted(
+            (r["conv_id"], r["turn_idx"], r["term"], r["tf"], r["doc_len"])
+            for r in rows
+        )
+        heads = {}
+        for r in rows:
+            k = (r["conv_id"], r["turn_idx"])
+            heads[k] = heads.get(k, 0) + r["is_doc_head"]
+        return postings, heads
+
+    a = norm(got_all.drop("epoch").collect())
+    b = norm(exp_all.collect())
+    assert a[0] == b[0]
+    assert a[1] == b[1]
+    assert all(v == 1 for v in a[1].values())
