@@ -1,7 +1,7 @@
 """Spark-side tokenization: transcripts → per-(turn, term) TF postings.
 
-One Arrow-batched ``mapInPandas`` pass does tokenize → normalize → stem →
-n-gram → per-doc TF counting (the reference's per-thread analyze+count,
+One Arrow pass does tokenize → normalize → stem → n-gram → per-doc TF
+counting (the reference's per-thread analyze+count,
 /root/reference/src/Analyzer/DocAnalyzer.java:377-423 and
 MultiThreadedUserAnalyzer.java:77-130), emitting already-aggregated
 (doc, term, tf) rows. Because a turn's tokens never cross a partition,
@@ -9,13 +9,16 @@ TF needs NO shuffle — this is the document-sharded build phase; only the
 dictionary/stats aggregation that follows shuffles, and it shuffles
 pre-aggregated (doc, term) rows, not raw tokens.
 
-Kernel shape (the build hot path, so no per-row Python for the default
-unigram analyzers): the whole Arrow batch is tokenized with pandas
-C-level string ops (``str.normalize`` → ``str.findall`` → ``explode``),
-each DISTINCT raw token is analyzed once through the per-worker memo
-(Zipf text → the normalize+stem cost is amortized to near zero), and
-TF/doc_len/head flags come from one vectorized groupby. The per-row
-loop survives only for ngrams >= 2 (a sequential chain-break window).
+Kernel shape (the build hot path): the default unigram analyzers run as
+a ``mapInArrow`` kernel — batches never become pandas; the
+per-character work (token-boundary regex split, flatten,
+distinct-encoding) is Arrow C++, Python analyzes only DISTINCT coarse
+tokens through the per-worker memo (Zipf text → the NFKC+stem cost is
+amortized to near zero), and TF/doc_len/head come from one
+composite-key numpy pass (see _arrow_unigram_batch). The per-row
+Python loop survives only for ngrams >= 2 (a sequential chain-break
+window, mapInPandas); _vectorized_unigram_batch is the retained
+pandas reference implementation the parity suite checks against.
 """
 
 from __future__ import annotations
