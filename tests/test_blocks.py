@@ -67,3 +67,41 @@ def test_block_roundtrip_property(data):
     rids, rws = decode_postings_block(first, enc, wbytes)
     assert (rids == ids).all()
     assert (rws == ws).all()
+
+
+def test_tf_payload_multibyte_roundtrip():
+    """TF-payload blocks with term frequencies needing 2+ varbyte bytes
+    (tf > 127) must reconstruct the exact BM25 doubles."""
+    import numpy as np
+
+    from ir_base_spark.index.blocks import (
+        _encode_sorted_run_arrow,
+        decode_postings_block,
+    )
+    from ir_base_spark.index.weights import B, K1
+
+    n = 500
+    rng = np.random.default_rng(3)
+    doc = np.sort(rng.choice(np.arange(10_000), size=n, replace=False))
+    tf = rng.integers(1, 20_000, size=n).astype(np.int64)
+    tid = np.zeros(n, dtype=np.int64)
+    dl = np.zeros(10_000, dtype=np.float64)
+    dl[doc] = tf * 3.0
+    avg = 40.0
+    idf_t = 1.7
+    denom = K1 * ((1.0 - B) + B * (dl / avg))
+    w = idf_t * (tf.astype(np.float64) * (K1 + 1.0) / (denom[doc] + tf))
+    enc = _encode_sorted_run_arrow(tid, 0, doc, w, 64, tf=tf)
+    assert enc.schema.metadata[b"sg_payload"] == b"tfv1"
+    got_ids = []
+    got_ws = []
+    for r in enc.to_pylist():
+        ids, ws = decode_postings_block(
+            r["first_doc"], r["doc_gaps"], r["weights"], (idf_t, denom, 0)
+        )
+        got_ids.append(ids)
+        got_ws.append(ws)
+    ids = np.concatenate(got_ids)
+    ws = np.concatenate(got_ws)
+    assert (ids == doc).all()
+    assert (ws == w).all()  # bit-identical reconstruction
