@@ -176,7 +176,7 @@ def decode_postings_block(
     if meta is None:
         w = np.frombuffer(payload, dtype=np.float64)
     else:
-        from .weights import B as _B, K1 as _K1  # noqa: F401 (K1 in expr)
+        from .weights import K1 as _K1  # B is folded into the sidecar denom
 
         idf_t, denom, lo = meta
         tf = varbyte_decode(payload).astype(np.float64)
@@ -600,7 +600,11 @@ def encode_shards_from_postings(
                 # sidecar BEFORE the blocks rename: a TF-payload block
                 # file must never be visible without its doc-length
                 # sidecar (decode would fail); the reverse order is
-                # harmless (mtime-keyed cache, orphan sidecar unused)
+                # harmless (mtime-keyed cache, orphan sidecar unused).
+                # NOTE: in-place re-encode over an index that is being
+                # SERVED concurrently is unsupported — between the two
+                # renames a reader could pair new doc lengths with old
+                # blocks. Re-encode into a fresh root and swap the root.
                 if enc.num_rows:
                     _write_shard_doclen(out_dir, lo, dl_acc)
                 os.replace(tmp, out_path)
@@ -821,6 +825,15 @@ def _encode_sorted_run_arrow(
         tf_buf, tf_nbytes = _varbyte_encode_arr(tf)
         tf_offs_all = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(tf_nbytes, out=tf_offs_all[1:])
+        if tf_offs_all[-1] > np.iinfo(np.int32).max:
+            # BinaryArray offsets are int32; narrowing past 2^31 would
+            # silently wrap into corrupt offsets. ~2e9 postings per
+            # shard means the shard width (bucket_bits) is mis-sized.
+            raise ValueError(
+                f"TF payload for shard exceeds int32 BinaryArray offsets "
+                f"({int(tf_offs_all[-1])} bytes); reduce shard width "
+                f"(bucket_bits) so fewer postings land per shard"
+            )
         w_offs = np.empty(nb + 1, dtype=np.int32)
         w_offs[:-1] = tf_offs_all[starts]
         w_offs[-1] = int(tf_offs_all[-1])
@@ -829,6 +842,11 @@ def _encode_sorted_run_arrow(
         )
         schema = schema.with_metadata({_PAYLOAD_KEY: _PAYLOAD_TF})
     else:
+        if n * 8 > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"float64 payload for shard exceeds int32 BinaryArray "
+                f"offsets ({n} postings); reduce shard width (bucket_bits)"
+            )
         w_offs = np.empty(nb + 1, dtype=np.int32)
         w_offs[:-1] = starts * 8
         w_offs[-1] = n * 8

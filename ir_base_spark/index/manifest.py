@@ -53,6 +53,17 @@ MANIFEST_VERSION = 1
 
 @dataclass
 class PartitionManifest:
+    """Per-partition build lineage + metrics.
+
+    Lineage fields (snapshot_id, conv_id_min/max, status) are exact:
+    cmin/cmax are min/max aggregates and therefore idempotent under
+    task retries. Count/rate fields (turns, postings_written,
+    terms_per_sec, turns_per_sec) are collected via the Observation
+    API on the write job and are APPROXIMATE under task retries or
+    speculative execution — treat them as operational reporting, not
+    lineage. bytes_compressed is derived from the written files and
+    is exact."""
+
     partition_id: int
     snapshot_id: str
     conv_id_min: str

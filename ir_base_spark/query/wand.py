@@ -613,6 +613,13 @@ def wand_topk_sharded(
 
                     def meta_for(tid, _d=denom, _l=lo_v):
                         j = int(np.searchsorted(tids_sorted, tid))
+                        if j >= len(tids_sorted) or tids_sorted[j] != tid:
+                            raise RuntimeError(
+                                f"term_id {tid} present in blocks but "
+                                f"missing from the terms sidecar — "
+                                f"stale or mismatched index sidecars "
+                                f"under {index_root!r}"
+                            )
                         return (float(idf_sorted[j]), _d, _l)
 
                 else:

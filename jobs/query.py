@@ -19,6 +19,26 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Interactive query batches are small by contract; this cap makes the
+# contract enforced rather than assumed (see main()).
+MAX_QUERIES = 100_000
+
+
+def enforce_query_cap(qdf, source: str, max_queries: int = MAX_QUERIES):
+    """Return qdf.toPandas() after verifying the row cap.
+
+    The query set is driver-resident by contract (it is broadcast to
+    every shard kernel); enforce the contract instead of assuming it."""
+    n_queries = qdf.limit(max_queries + 1).count()
+    if n_queries > max_queries:
+        raise SystemExit(
+            f"query set {source!r} has more than {max_queries} rows; "
+            f"the batch query path broadcasts queries to every shard "
+            f"and is sized for interactive batches. Split the file or "
+            f"raise MAX_QUERIES deliberately."
+        )
+    return qdf.toPandas()
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -50,7 +70,7 @@ def main() -> None:
         stats = json.load(fh)
     terms = spark.read.parquet(os.path.join(root, "terms"))
 
-    qpdf = spark.read.parquet(args.queries).toPandas()
+    qpdf = enforce_query_cap(spark.read.parquet(args.queries), args.queries)
     qt = analyze_query_terms(spark, qpdf, analyzer=args.analyzer)
 
     t0 = time.time()
