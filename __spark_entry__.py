@@ -88,8 +88,16 @@ def q_bm25_topk_docs_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _docs_as_transcripts(_docs(spark, sf_dir))
     idx = build_index(spark, t, analyzer="simple")
-    docs = assign_doc_ids(idx.doc_lens)
-    bidx = build_block_index(idx, docs, block_size=64, bucket_bits=8)
+    # one conversation-base cumsum shared by the doc-id map and the
+    # block encode (each would otherwise run its own eager two-phase
+    # cumsum over doc_lens)
+    from ir_base_spark.index.dictionary import conv_doc_base
+
+    base = conv_doc_base(idx.doc_lens, num_partitions=8)
+    docs = assign_doc_ids(idx.doc_lens, base=base)
+    bidx = build_block_index(
+        idx, docs, block_size=128, bucket_bits=12, doc_base=base
+    )
     # over-fetch, then take the final k on the ROUNDED score: the engine
     # and the oracle must agree on the k-boundary even when raw float
     # summation order differs (rank-on-rounded convention)

@@ -28,6 +28,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# entries faster than this get repeat-min'd (host noise dominates
+# sub-second timings; min-of-3 makes round-over-round deltas signal)
+REPEAT_MIN_THRESHOLD_SEC = 1.5
+REPEAT_MIN_RUNS = 3
+
 ENTRY_BENCH_QUERIES = [
     "bm25_topk_docs",
     "bm25_topk_docs_wand",
@@ -151,11 +156,23 @@ def main() -> None:
     queries.update(idx_times)
 
     qs = E.queries()
+    repeats: dict[str, int] = {}
     for name in ENTRY_BENCH_QUERIES:
         fn = qs[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t0, 3)
+        best = time.time() - t0
+        n = 1
+        # sub-second entries are dominated by host noise (round-4
+        # verdict item 7): repeat-min them so round-over-round deltas
+        # are signal, not scheduler jitter
+        while best < REPEAT_MIN_THRESHOLD_SEC and n < REPEAT_MIN_RUNS:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            n += 1
+        queries[name] = round(best, 3)
+        repeats[name] = n
 
     total = round(sum(queries.values()), 3)
     print(
@@ -165,6 +182,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "n_repeats": repeats,
                 "sf": sf,
                 "cpus": cpus,
                 "index_turns": turns,

@@ -958,10 +958,12 @@ def build_block_index(
     # flat encode time 4 -> 16 cores); the encode kernel wants many
     # smaller Arrow streams, not few fat ones.
     spark = w.sparkSession
-    n_parts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism * 4,
-    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if index.n_docs >= 1_000_000:
+        # the over-partitioning boost was measured on multi-million-doc
+        # corpora (keeps the Python encode stage fed as cores scale);
+        # on small corpora the extra tasks are pure fixed cost
+        n_parts = max(n_parts, spark.sparkContext.defaultParallelism * 4)
     blocks = (
         w.repartition(n_parts, "term_id", "bucket")
         .sortWithinPartitions("term_id", "bucket", "doc_id")

@@ -220,6 +220,167 @@ def _wand_bucket(lists: list[_ListIter], k: int) -> list[tuple[int, float]]:
     return out
 
 
+def _bmw_query(
+    lists: list[tuple],
+    k: int,
+    cache: dict,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k for ONE query via VECTORIZED block-max WAND.
+
+    ``lists`` = [(term_id, qw, firsts, lasts, maxws, gaps, wbytes,
+    meta, ub)] in ascending term_id. Replaces the per-posting cursor
+    kernel (`_wand_bucket`, retained as the fuzz-tested reference
+    implementation under ``algo="cursor"``) with a window-at-a-time
+    numpy formulation that keeps BOTH of block-max WAND's pruning
+    levers while doing O(#blocks), not O(#postings), Python work:
+
+    - essential-list selection (MaxScore): the non-essential prefix of
+      UB-sorted lists whose clamped-UB prefix sum is <= θ contributes
+      no candidates — a doc found only there scores <= θ and loses the
+      doc-id tie-break to the (earlier, doc-ordered) incumbent;
+    - true block-max skipping: each window is [cur, nearest essential
+      block boundary]; if the sum over ALL lists of their max block
+      score overlapping the window is strictly below θ, the window is
+      skipped without decoding a single payload byte.
+
+    Windows advance in doc order, candidates are scored exactly with
+    one searchsorted gather per term in ascending term_id order (the
+    canonical float accumulation order shared by M1/TAAT/MaxScore/
+    cursor), and blocks decode lazily through the shared per-bucket
+    ``cache`` keyed (term_id, block_idx) so a batch of queries decodes
+    each block at most once.
+    """
+    nt = len(lists)
+    ubs = np.array([L[8] for L in lists])
+    by_ub = sorted(range(nt), key=lambda i: (ubs[i], i))
+    prefix_ub = np.cumsum(ubs[by_ub])
+    pool_docs = np.empty(0, dtype=np.int64)
+    pool_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    full = False
+    cur = min(int(L[2][0]) for L in lists)
+
+    def _decoded(i: int, bi: int):
+        L = lists[i]
+        key = (L[0], bi)
+        hit = cache.get(key)
+        if hit is None:
+            hit = decode_postings_block(L[2][bi], L[5][bi], L[6][bi], L[7])
+            cache[key] = hit
+        return hit
+
+    def _overlap(i: int, lo: int, hi: int) -> tuple[int, int]:
+        """Block index range [b_lo, b_hi) overlapping doc range [lo, hi]."""
+        L = lists[i]
+        b_lo = int(np.searchsorted(L[3], lo, side="left"))
+        b_hi = int(np.searchsorted(L[2], hi, side="right"))
+        return b_lo, b_hi
+
+    while True:
+        ne = (
+            int(np.searchsorted(prefix_ub, theta, side="right")) if full else 0
+        )
+        # nearest essential block boundary >= cur defines the window
+        window_end = None
+        for i in by_ub[ne:]:
+            lasts = lists[i][3]
+            b = int(np.searchsorted(lasts, cur, side="left"))
+            if b < len(lasts):
+                le = int(lasts[b])
+                if window_end is None or le < window_end:
+                    window_end = le
+        if window_end is None:
+            break
+        if full:
+            # shallow block-max validation over ALL lists, no decode
+            bm = 0.0
+            for i in range(nt):
+                b_lo, b_hi = _overlap(i, cur, window_end)
+                if b_hi > b_lo:
+                    m = float(lists[i][4][b_lo:b_hi].max())
+                    v = lists[i][1] * m
+                    if v > 0.0:
+                        bm += v
+            if bm < theta:  # tie-conservative: skip only strictly below
+                cur = window_end + 1
+                continue
+        # candidates: essential-list postings within the window
+        parts = []
+        for i in by_ub[ne:]:
+            b_lo, b_hi = _overlap(i, cur, window_end)
+            for b in range(b_lo, b_hi):
+                ids, _ws = _decoded(i, b)
+                s = int(np.searchsorted(ids, cur, side="left"))
+                e = int(np.searchsorted(ids, window_end, side="right"))
+                if e > s:
+                    parts.append(ids[s:e])
+        if not parts:
+            cur = window_end + 1
+            continue
+        cand = np.unique(np.concatenate(parts)) if len(parts) > 1 else np.unique(parts[0])
+        # exact scores: ascending term_id accumulation (canonical order)
+        acc = np.zeros(cand.shape[0], dtype=np.float64)
+        for i in range(nt):
+            b_lo, b_hi = _overlap(i, cur, window_end)
+            if b_hi <= b_lo:
+                continue
+            blocks = [_decoded(i, b) for b in range(b_lo, b_hi)]
+            if len(blocks) == 1:
+                ids, ws = blocks[0]
+            else:
+                ids = np.concatenate([b[0] for b in blocks])
+                ws = np.concatenate([b[1] for b in blocks])
+            idx = np.searchsorted(ids, cand)
+            idx_c = np.minimum(idx, len(ids) - 1)
+            match = ids[idx_c] == cand
+            if match.any():
+                acc[match] += lists[i][1] * ws[idx_c[match]]
+        pool_docs = np.concatenate([pool_docs, cand])
+        pool_scores = np.concatenate([pool_scores, acc])
+        if pool_docs.shape[0] >= k:
+            if pool_docs.shape[0] > k:
+                order = np.lexsort((pool_docs, -pool_scores))[:k]
+                pool_docs = pool_docs[order]
+                pool_scores = pool_scores[order]
+            theta = float(pool_scores.min())
+            full = True
+        cur = window_end + 1
+    return pool_docs, pool_scores
+
+
+def _bmw_bucket(
+    arrays: dict[int, tuple],
+    queries: list[tuple[str, int, list[tuple[int, float]]]],
+    out: dict,
+) -> None:
+    """Vectorized block-max WAND batch scorer over one bucket — the
+    default selective path (algo="wand"). Rank-identical to the cursor
+    reference kernel, TAAT, MaxScore and M1 (same accumulation order,
+    same (score desc, doc asc) tie-break, tie-conservative pruning);
+    shares one (term_id, block) decode cache across the whole batch."""
+    cache: dict = {}
+    for query_id, k, terms in queries:
+        lists = []
+        for tid, qw in terms:  # already ascending term_id
+            arr = arrays.get(tid)
+            if arr is None:
+                continue
+            firsts, lasts, maxws, gaps, wbytes, meta = arr
+            ub = max(0.0, qw * float(maxws.max()))
+            lists.append((tid, qw, firsts, lasts, maxws, gaps, wbytes, meta, ub))
+        if not lists:
+            continue
+        docs, scores = _bmw_query(lists, k, cache)
+        if docs.shape[0] == 0:
+            continue
+        order = np.lexsort((docs, -scores))[:k]
+        for i in order:
+            out["query_id"].append(query_id)
+            out["doc_id"].append(int(docs[i]))
+            out["score"].append(float(scores[i]))
+            out["k"].append(k)
+
+
 def _taat_bucket(
     arrays: dict[int, tuple],
     queries: list[tuple[str, int, list[tuple[int, float]]]],
@@ -426,10 +587,13 @@ def _make_bucket_kernel(
     algo: str = "wand",
 ):
     """Kernel factory: one group per BUCKET; every query runs over the
-    bucket's blocks. algo="wand": DAAT block-max pruning with a shared
-    decode cache (selective queries decode few blocks); algo="taat":
-    vectorized term-at-a-time full evaluation (large batches — decode
-    once, no per-posting Python). Both are rank-identical."""
+    bucket's blocks. algo="wand": vectorized block-max WAND (selective
+    queries skip whole blocks without decoding, O(#blocks) Python
+    work); algo="taat": vectorized term-at-a-time full evaluation
+    (large batches — decode once, no per-posting Python);
+    algo="maxscore": chunked essential-list pruning; algo="cursor":
+    the per-posting DAAT reference kernel (fuzz-tested baseline, not a
+    production route). All are rank-identical."""
 
     def kernel(pdf: pd.DataFrame, meta_for=None) -> pd.DataFrame:
         arrays: dict[int, tuple] = {}
@@ -444,6 +608,9 @@ def _make_bucket_kernel(
                 meta_for(int(term_id)) if meta_for is not None else None,
             )
         out = {"query_id": [], "doc_id": [], "score": [], "k": []}
+        if algo == "wand":
+            _bmw_bucket(arrays, queries, out)
+            return pd.DataFrame(out)
         if algo == "taat":
             _taat_bucket(arrays, queries, out)
             return pd.DataFrame(out)

@@ -46,9 +46,11 @@ def main() -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--engine", default="wand", choices=["wand", "dataframe"])
     ap.add_argument(
-        "--algo", default="auto", choices=["auto", "wand", "taat"],
-        help="block-index scorer: DAAT block-max WAND (selective), "
-        "vectorized TAAT (batches), or auto by query count",
+        "--algo", default="auto",
+        choices=["auto", "wand", "taat", "maxscore", "cursor"],
+        help="block-index scorer: vectorized block-max WAND (selective), "
+        "vectorized TAAT (batches), chunked MaxScore, the per-posting "
+        "cursor reference kernel, or auto by query count",
     )
     ap.add_argument("--analyzer", default="reference", choices=["reference", "simple"])
     ap.add_argument("--output", default=None)
