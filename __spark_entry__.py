@@ -474,6 +474,98 @@ def q_ann_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk_batch(emb, ANN_BATCH_IDS, k=10, bucket_table=bt)
 
 
+GF_K, GF_KP, GF_ITERS = 3, 4, 3
+GF_ALPHA, GF_BETA, GF_ETA = 1.0, 0.1, 0.1
+
+
+def q_gaussian_fields_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised Gaussian Fields random-walk label propagation
+    over the embeddings table: vec_id % 5 == 0 rows are the labeled
+    anchors, the rest receive propagated predictions
+    (GaussianFieldsByRandomWalk.java:62, deterministic Jacobi analog)."""
+    from ir_base_spark.ops.gaussian_fields import gaussian_fields_random_walk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    v = emb.withColumn(
+        "label",
+        F.when(F.col("vec_id") % 5 == 0, F.col("label")).otherwise(
+            F.lit(None).cast("int")
+        ),
+    )
+    return gaussian_fields_random_walk(
+        v, k=GF_K, k_prime=GF_KP, alpha=GF_ALPHA, beta=GF_BETA, eta=GF_ETA,
+        iterations=GF_ITERS,
+    )
+
+
+def _gaussian_fields_sql() -> str:
+    """Iteration-unrolled CTE oracle for gaussian_fields_predict."""
+    head = f"""
+WITH V AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings
+),
+L AS MATERIALIZED (
+  SELECT vec_id, vec, CAST(label AS DOUBLE) AS y FROM V WHERE vec_id % 5 = 0
+),
+U AS MATERIALIZED (
+  SELECT vec_id, vec FROM V WHERE vec_id % 5 <> 0
+),
+nc AS (SELECT CAST(max(y) AS INT) + 1 AS n FROM L),
+ul AS MATERIALIZED (
+  SELECT uid, nid, y, s FROM (
+    SELECT u.vec_id AS uid, l.vec_id AS nid, l.y,
+           round(list_cosine_similarity(u.vec, l.vec), 6) AS s,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY round(list_cosine_similarity(u.vec, l.vec), 6) DESC,
+                      l.vec_id ASC
+           ) AS rn
+    FROM U u CROSS JOIN L l
+  ) WHERE rn <= {GF_K}
+),
+aggl AS MATERIALIZED (
+  SELECT uid, sum(s * y) AS SL, sum(s) AS WL,
+         sum(s * y) / sum(s) AS cpred
+  FROM ul GROUP BY uid
+),
+uu AS MATERIALIZED (
+  SELECT uid, nid, w FROM (
+    SELECT a.vec_id AS uid, b.vec_id AS nid,
+           round(list_cosine_similarity(a.vec, b.vec), 6) AS w,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.vec, b.vec), 6) DESC,
+                      b.vec_id ASC
+           ) AS rn
+    FROM U a CROSS JOIN U b WHERE a.vec_id <> b.vec_id
+  ) WHERE rn <= {GF_KP}
+),
+p0 AS MATERIALIZED (SELECT uid, cpred AS pred FROM aggl)"""
+    steps = []
+    for t in range(1, GF_ITERS + 1):
+        steps.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT aggl.uid,
+         {GF_ETA} * ({GF_ALPHA} * aggl.SL
+                     + {GF_BETA} * coalesce(s.su, 0.0))
+             / ({GF_ALPHA} * aggl.WL + {GF_BETA} * coalesce(s.wu, 0.0))
+         + {1.0 - GF_ETA} * aggl.cpred AS pred
+  FROM aggl LEFT JOIN (
+    SELECT uu.uid, sum(uu.w * p{t - 1}.pred) AS su, sum(uu.w) AS wu
+    FROM uu JOIN p{t - 1} ON uu.nid = p{t - 1}.uid GROUP BY uu.uid
+  ) s ON aggl.uid = s.uid
+)""")
+    tail = f"""
+SELECT vec_id, pred6,
+       CAST(least(greatest(CAST(ceil(pred6 - 0.5) AS INT), 0), nc.n - 1)
+            AS INT) AS pred_label
+FROM (
+  SELECT uid AS vec_id, round(pred, 6) AS pred6 FROM p{GF_ITERS}
+) CROSS JOIN nc
+"""
+    return head + "".join(steps) + tail
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ir_base_spark.ops.relational import pricing_summary
 
@@ -788,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "gaussian_fields_predict": q_gaussian_fields_predict,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1427,6 +1520,7 @@ FROM sim
 QUALIFY rank <= 10
 """,
         "ann_lsh_topk": _ann_lsh_sql([0], 10, single=True),
+        "gaussian_fields_predict": _gaussian_fields_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
