@@ -474,6 +474,69 @@ def q_ann_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk_batch(emb, ANN_BATCH_IDS, k=10, bucket_table=bt)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal metadata decode: the deterministic asset fixture
+    carries genuine PNG/JPEG/WAV/GIF container headers; the engine
+    parses dimensions/channels/sample-rate/duration from the raw bytes
+    (ops/multimodal.decode_headers — no image/audio libraries).
+    Missing fields use sentinel -1 so the compared frame has no
+    nullable-int columns (oracle-dtype stability)."""
+    from ir_base_spark.ops.multimodal import (
+        ASSET_DDL,
+        asset_header_features,
+        make_asset_fixture,
+    )
+
+    df = spark.createDataFrame(make_asset_fixture(24), ASSET_DDL)
+    out = asset_header_features(df)
+    m1 = F.lit(-1)
+    return out.select(
+        "asset_id", "kind", "format",
+        F.coalesce(F.col("width"), m1).alias("width"),
+        F.coalesce(F.col("height"), m1).alias("height"),
+        F.coalesce(F.col("channels"), m1).alias("channels"),
+        F.coalesce(F.col("sample_rate"), m1).alias("sample_rate"),
+        F.coalesce(F.col("duration_ms"), m1.cast("long")).alias("duration_ms"),
+        "n_bytes",
+    )
+
+
+def _multimodal_sql() -> str:
+    """Analytic oracle for multimodal_features: expected header fields
+    are restated as arithmetic in the asset id (the fixture embeds
+    w=64+i etc.), NOT by running any parser — only the payload byte
+    LENGTH comes from the shared fixture generator (the fixture is the
+    input data, not the system under test)."""
+    from ir_base_spark.ops.multimodal import make_asset_fixture
+
+    vals = []
+    for i, kind, payload, _meta in make_asset_fixture(24):
+        n = len(payload)
+        m = i % 4
+        if m == 0:
+            row = (i, kind, "png", 64 + i, 32 + 2 * i, 4, -1, -1, n)
+        elif m == 1:
+            row = (i, kind, "jpeg", 100 + i, 50 + i, 3, -1, -1, n)
+        elif m == 2:
+            row = (
+                i, kind, "wav", -1, -1, 1 + (i % 2), 8000 + 1000 * i,
+                250 * (i % 3 + 1), n,
+            )
+        else:
+            row = (i, kind, "gif", 30 + i, 20 + i, -1, -1, -1, n)
+        vals.append(
+            "({}, '{}', '{}', {}, {}, {}, {}, {}, {})".format(*row)
+        )
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS asset_id, c1 AS kind, c2 AS format, "
+        "CAST(c3 AS INTEGER) AS width, CAST(c4 AS INTEGER) AS height, "
+        "CAST(c5 AS INTEGER) AS channels, "
+        "CAST(c6 AS INTEGER) AS sample_rate, "
+        "CAST(c7 AS BIGINT) AS duration_ms, CAST(c8 AS BIGINT) AS n_bytes "
+        "FROM (VALUES " + ", ".join(vals) + ") AS t(c0,c1,c2,c3,c4,c5,c6,c7,c8)"
+    )
+
+
 GF_K, GF_KP, GF_ITERS = 3, 4, 3
 GF_ALPHA, GF_BETA, GF_ETA = 1.0, 0.1, 0.1
 
@@ -881,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "gaussian_fields_predict": q_gaussian_fields_predict,
+        "multimodal_features": q_multimodal_features,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1521,6 +1585,7 @@ QUALIFY rank <= 10
 """,
         "ann_lsh_topk": _ann_lsh_sql([0], 10, single=True),
         "gaussian_fields_predict": _gaussian_fields_sql(),
+        "multimodal_features": _multimodal_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -2,11 +2,14 @@
 
 Treats image/audio/video as ``binary`` columns with a ``kind`` tag and a
 ``map<string,string>`` metadata column. The Spark-side plumbing (schema,
-Arrow batch shape, partitioning) is real and tested; the actual
-image/audio decode is STUBBED — the decode libraries are not in this
-container — behind ``decoder="fake"`` (deterministic bytes-derived
-features) vs ``decoder="real"`` (raises NotImplementedError at the first
-batch, marking exactly where PIL/ffmpeg/torchaudio would plug in).
+Arrow batch shape, partitioning) is real and tested. Decode comes in
+two halves: header/metadata extraction is REAL and library-free
+(``decode_headers`` parses PNG/JPEG/WAV/GIF byte layouts directly;
+``asset_header_features`` is the batched operator, oracle-gated);
+pixel/sample decoding still needs the modality libraries, which are not
+in this container — ``decoder="fake"`` gives deterministic
+bytes-derived stand-in features and ``decoder="real"`` raises
+NotImplementedError at the exact PIL/ffmpeg/torchaudio plug point.
 
 All UDFs are Arrow-batched ``mapInPandas`` — one Python round trip per
 batch of assets, never per row; payload bytes stream through Arrow
@@ -74,6 +77,185 @@ def featurize_assets(
             f"features array<float>"
         ),
     )
+
+
+def decode_headers(payload: bytes) -> dict:
+    """Library-free REAL decode of container headers from raw bytes:
+    PNG (IHDR), JPEG (SOF marker scan), WAV (RIFF fmt/data chunks) and
+    GIF (logical screen descriptor). This replaces the ``decoder="real"``
+    NotImplementedError seam for the metadata-extraction half of decode
+    — dimensions/channels/sample-rate/duration are parsed from the
+    actual byte layout (struct offsets per the public file-format
+    specs), no PIL/ffmpeg needed. Pixel/sample DECODING (the other
+    half) still needs the libraries and keeps the explicit seam.
+
+    Returns {format, width, height, channels, sample_rate, duration_ms}
+    with None for fields the container doesn't carry; format="unknown"
+    (all None) for unrecognized or truncated payloads.
+    """
+    import struct
+
+    out = {
+        "format": "unknown", "width": None, "height": None,
+        "channels": None, "sample_rate": None, "duration_ms": None,
+    }
+    p = payload or b""
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", p[16:24])
+            bit_depth, color_type = p[24], p[25]
+            out.update(
+                format="png", width=w, height=h,
+                channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type),
+            )
+        elif p[:2] == b"\xff\xd8":
+            # marker scan for the first SOFn segment (C0-CF minus the
+            # non-frame C4/C8/CC markers)
+            i = 2
+            while i + 4 <= len(p) and p[i] == 0xFF:
+                marker = p[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    out.update(
+                        format="jpeg", width=w, height=h,
+                        channels=p[i + 9],
+                    )
+                    break
+                seg_len = struct.unpack(">H", p[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+        elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            i = 12
+            channels = rate = byte_rate = data_size = None
+            while i + 8 <= len(p):
+                cid = p[i : i + 4]
+                csize = struct.unpack("<I", p[i + 4 : i + 8])[0]
+                if cid == b"fmt ":
+                    _fmt, channels, rate, byte_rate = struct.unpack(
+                        "<HHII", p[i + 8 : i + 20]
+                    )
+                elif cid == b"data":
+                    data_size = csize
+                i += 8 + csize + (csize & 1)
+            if rate is not None:
+                out.update(
+                    format="wav", channels=channels, sample_rate=rate,
+                    duration_ms=(
+                        data_size * 1000 // byte_rate
+                        if data_size is not None and byte_rate
+                        else None
+                    ),
+                )
+        elif p[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", p[6:10])
+            out.update(format="gif", width=w, height=h)
+    except (struct.error, IndexError):
+        return {
+            "format": "unknown", "width": None, "height": None,
+            "channels": None, "sample_rate": None, "duration_ms": None,
+        }
+    return out
+
+
+def asset_header_features(assets: DataFrame) -> DataFrame:
+    """assets(ASSET_DDL) → one typed metadata row per asset, decoded
+    from the REAL payload bytes (decode_headers). Arrow-batched
+    mapInPandas like the rest of the module: payload bytes cross into
+    Python once per batch, outputs are small typed columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                decode_headers(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "format": [r["format"] for r in rows],
+                    "width": pd.array(
+                        [r["width"] for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r["height"] for r in rows], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [r["channels"] for r in rows], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [r["sample_rate"] for r in rows], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [r["duration_ms"] for r in rows], dtype="Int64"
+                    ),
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else 0
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(
+        run,
+        schema=(
+            "asset_id long, kind string, format string, width int, "
+            "height int, channels int, sample_rate int, "
+            "duration_ms long, n_bytes long"
+        ),
+    )
+
+
+def make_asset_fixture(n: int = 24) -> list[tuple]:
+    """Deterministic multimodal fixture with REAL container headers:
+    asset i is a PNG / JPEG / WAV / GIF (by i%4) whose header fields
+    are arithmetic in i, so an oracle can state the expected metadata
+    without running any parser. Payloads carry deterministic junk
+    bodies so size-derived features are stable too."""
+    import struct
+
+    rows = []
+    for i in range(n):
+        body = bytes((j * 31 + i) % 256 for j in range(64))
+        m = i % 4
+        if m == 0:
+            w, h = 64 + i, 32 + 2 * i
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+                + b"\x00\x00\x00\x00" + body
+            )
+            kind = "image"
+        elif m == 1:
+            w, h = 100 + i, 50 + i
+            sof = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + (
+                struct.pack(">HH", h, w) + bytes([3]) + body[:9]
+            )
+            payload = (
+                b"\xff\xd8"
+                + b"\xff\xe0" + struct.pack(">H", 15) + b"JFIF\x00" + body[:8]
+                + sof + b"\xff\xd9"
+            )
+            kind = "image"
+        elif m == 2:
+            ch = 1 + (i % 2)
+            rate = 8000 + 1000 * i
+            byte_rate = rate * ch * 2
+            dur_ms = 250 * (i % 3 + 1)
+            data_size = byte_rate * dur_ms // 1000
+            fmt = struct.pack("<HHIIHH", 1, ch, rate, byte_rate, ch * 2, 16)
+            payload = (
+                b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", data_size)
+            )
+            kind = "audio"
+        else:
+            w, h = 30 + i, 20 + i
+            payload = b"GIF89a" + struct.pack("<HH", w, h) + body
+            kind = "image"
+        rows.append((i, kind, payload, {"src": f"fixture-{i}"}))
+    return rows
 
 
 def frame_sample(

@@ -74,3 +74,47 @@ def test_ndcg_evaluator(spark):
     dcg_b = (2**0 - 1) / math.log(2) + (2**3 - 1) / math.log(3)
     idcg_b = (2**3 - 1) / math.log(2) + (2**0 - 1) / math.log(3)
     assert abs(got["B"] - dcg_b / idcg_b) < 1e-12
+
+
+def test_decode_headers_real_formats():
+    """Header parse of genuine container bytes, including robustness on
+    truncated/garbage payloads."""
+    from ir_base_spark.ops.multimodal import decode_headers, make_asset_fixture
+
+    for i, kind, payload, _meta in make_asset_fixture(24):
+        r = decode_headers(payload)
+        m = i % 4
+        if m == 0:
+            assert (r["format"], r["width"], r["height"], r["channels"]) == (
+                "png", 64 + i, 32 + 2 * i, 4
+            )
+        elif m == 1:
+            assert (r["format"], r["width"], r["height"], r["channels"]) == (
+                "jpeg", 100 + i, 50 + i, 3
+            )
+        elif m == 2:
+            assert (r["format"], r["channels"], r["sample_rate"]) == (
+                "wav", 1 + (i % 2), 8000 + 1000 * i
+            )
+            assert r["duration_ms"] == 250 * (i % 3 + 1)
+        else:
+            assert (r["format"], r["width"], r["height"]) == (
+                "gif", 30 + i, 20 + i
+            )
+    # robustness: unknown magic, empty, truncated PNG header
+    for junk in (b"", b"not-a-container", b"\x89PNG\r\n\x1a\nIH"):
+        assert decode_headers(junk)["format"] == "unknown"
+
+
+def test_asset_header_features_spark(spark):
+    from ir_base_spark.ops.multimodal import (
+        asset_header_features,
+        make_asset_fixture,
+    )
+
+    df = spark.createDataFrame(make_asset_fixture(8), schema=ASSET_DDL)
+    rows = {r["asset_id"]: r for r in asset_header_features(df).collect()}
+    assert len(rows) == 8
+    assert rows[0]["format"] == "png" and rows[0]["width"] == 64
+    assert rows[2]["format"] == "wav" and rows[2]["duration_ms"] == 750
+    assert rows[3]["format"] == "gif" and rows[3]["height"] == 23
