@@ -98,6 +98,13 @@ def run_index_bench(spark, n_conversations: int, queries_n: int = 100) -> dict:
     t0 = time.time()
     report = resumable_build(spark, t, root, num_partitions=32, max_concurrent_jobs=32)
     out["index_build"] = round(time.time() - t0, 3)
+
+    # bigram postings build (the arrow-vectorized ngrams>=2 kernel)
+    from ir_base_spark.index.tokenize import tokenize_turns
+
+    t0 = time.time()
+    tokenize_turns(t, ngrams=2).write.format("noop").mode("overwrite").save()
+    out["tokenize_bigram"] = round(time.time() - t0, 3)
     out["_turns"] = n_turns
     out["_turns_per_sec"] = round(n_turns / out["index_build"], 1)
 

@@ -15,10 +15,12 @@ per-character work (token-boundary regex split, flatten,
 distinct-encoding) is Arrow C++, Python analyzes only DISTINCT coarse
 tokens through the per-worker memo (Zipf text → the NFKC+stem cost is
 amortized to near zero), and TF/doc_len/head come from one
-composite-key numpy pass (see _arrow_unigram_batch). The per-row
-Python loop survives only for ngrams >= 2 (a sequential chain-break
-window, mapInPandas); _vectorized_unigram_batch is the retained
-pandas reference implementation the parity suite checks against.
+composite-key numpy pass (see _arrow_unigram_batch). ngrams >= 2
+builds run the same way (_arrow_ngram_batch: whitespace-chunk split in
+Arrow, distinct-chunk event memo, vectorized window cascade) — there
+is no per-row Python on any build path. _vectorized_unigram_batch and
+_pandas_ngram_partition are the retained reference implementations
+the parity suite checks against.
 """
 
 from __future__ import annotations
@@ -312,6 +314,198 @@ def _arrow_unigram_batch(
     )
 
 
+_CHUNK_EVENT_CACHE: dict[str, tuple] = {}
+
+
+def _analyze_chunk_events(raw: str) -> tuple:
+    """Event stream of ONE whitespace-delimited chunk under the
+    reference analyzer: for each TOKEN_RE token of NFKC(chunk), either
+    the legit stem (str), False (non-legit token: blocks any n-gram
+    containing it but emits nothing), or None (empty-normalized token:
+    the chain-break RESET of analyze()'s window). Unlike the unigram
+    coarse class — which deliberately discards punctuation runs — the
+    n-gram kernel must SEE them, because a punctuation token between
+    two words resets the window and suppresses the bigram."""
+    import unicodedata
+
+    from ir_base_spark.text.analyze import TOKEN_RE, _analyze_token
+
+    ev = []
+    for tok in TOKEN_RE.findall(unicodedata.normalize("NFKC", raw)):
+        hit = _analyze_token(tok)
+        if hit is None:
+            ev.append(None)
+        elif hit[1]:
+            ev.append(hit[0])
+        else:
+            ev.append(False)
+    return tuple(ev)
+
+
+def _arrow_ngram_batch(batch, text_col: str, ngrams: int, min_distinct_terms: int):
+    """Arrow-native tokenize+count for the reference analyzer with
+    ngrams >= 2 — replaces the per-row Python chain-break loop.
+
+    Split on ASCII whitespace runs in Arrow C++ (RE2). TOKEN_RE tokens
+    can never span whitespace (both alternatives exclude ``\\s``), and
+    NFKC never composes across a whitespace boundary, so the
+    concatenation of per-chunk token streams IS the full-text token
+    stream — including the punctuation tokens that reset the n-gram
+    window (see _analyze_chunk_events). Python analyzes only DISTINCT
+    chunks through the per-worker memo; the window itself is evaluated
+    VECTORIZED over the flattened event arrays: an n-gram exists at
+    event position j iff the n events ending at j are all legit tokens
+    of the same row (a reset/blocker anywhere in the window kills it —
+    exactly analyze()'s semantics, since windows are contiguous), and
+    gram strings are built once per DISTINCT (prefix-gram, stem) pair
+    via a cascade, never per emission.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("term", pa.string()),
+            ("tf", pa.float64()),
+            ("doc_len", pa.float64()),
+            ("is_doc_head", pa.int32()),
+        ]
+    )
+
+    def _empty():
+        return pa.RecordBatch.from_pydict(
+            {f.name: pa.array([], type=f.type) for f in schema}, schema=schema
+        )
+
+    text = pc.fill_null(batch.column(text_col), "")
+    split = pc.split_pattern_regex(text, pattern=r"\s+")
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split)
+    ne = pc.not_equal(flat, "")
+    flat = pc.filter(flat, ne)
+    parent = pc.filter(parent, ne)
+    if len(flat) == 0:
+        return _empty()
+    d = pc.dictionary_encode(flat)
+    dict_vals = d.dictionary.to_pylist()
+
+    # distinct-chunk event streams -> one flat fid array + offsets
+    # (fid >= 0 legit stem, -2 blocker, -1 reset)
+    final_ids: dict[str, int] = {}
+    terms_all: list[str] = []
+    ev_parts: list[np.ndarray] = []
+    ev_off = np.empty(len(dict_vals) + 1, dtype=np.int64)
+    ev_off[0] = 0
+    for di, raw in enumerate(dict_vals):
+        events = _CHUNK_EVENT_CACHE.get(raw)
+        if events is None:
+            if len(_CHUNK_EVENT_CACHE) > 2_000_000:
+                _CHUNK_EVENT_CACHE.clear()
+            events = _analyze_chunk_events(raw)
+            _CHUNK_EVENT_CACHE[raw] = events
+        arr = np.empty(len(events), dtype=np.int64)
+        for k, e in enumerate(events):
+            if e is None:
+                arr[k] = -1
+            elif e is False:
+                arr[k] = -2
+            else:
+                fid = final_ids.setdefault(e, len(terms_all))
+                if fid == len(terms_all):
+                    terms_all.append(e)
+                arr[k] = fid
+        ev_parts.append(arr)
+        ev_off[di + 1] = ev_off[di] + len(arr)
+    big = (
+        np.concatenate(ev_parts) if ev_parts else np.empty(0, dtype=np.int64)
+    )
+    ev_len = np.diff(ev_off)
+
+    # expand chunk instances (in text order) into the batch event stream
+    tok_di = d.indices.to_numpy().astype(np.int64, copy=False)
+    tok_row = parent.to_numpy().astype(np.int64, copy=False)
+    L = ev_len[tok_di]
+    total = int(L.sum())
+    if total == 0:
+        return _empty()
+    cum = np.cumsum(L)
+    base = np.repeat(cum - L, L)
+    within = np.arange(total, dtype=np.int64) - base
+    idx = np.repeat(ev_off[tok_di], L) + within
+    ev = big[idx]
+    row = np.repeat(tok_row, L)
+
+    ok = ev >= 0
+    em_rows = [row[ok]]
+    em_tids = [ev[ok]]
+
+    # n-gram cascade: win_ok[j] / g[j] describe the n-window ending at j
+    g = ev
+    win_ok = ok
+    for _n in range(2, ngrams + 1):
+        new_ok = np.zeros_like(ok)
+        new_ok[1:] = win_ok[:-1] & ok[1:] & (row[1:] == row[:-1])
+        jj = np.flatnonzero(new_ok)
+        if jj.size == 0:
+            break
+        pairs = np.stack([g[jj - 1], ev[jj]], axis=1)
+        upairs, inv = np.unique(pairs, axis=0, return_inverse=True)
+        base_id = len(terms_all)
+        for a, b in upairs:
+            terms_all.append(terms_all[int(a)] + "-" + terms_all[int(b)])
+        gid = base_id + inv
+        g_new = np.full(ev.shape, -1, dtype=np.int64)
+        g_new[jj] = gid
+        em_rows.append(row[jj])
+        em_tids.append(gid)
+        g = g_new
+        win_ok = new_ok
+
+    rows_all = np.concatenate(em_rows)
+    tids_all = np.concatenate(em_tids)
+    if rows_all.size == 0:
+        return _empty()
+
+    nf = len(terms_all)
+    key = rows_all * nf + tids_all
+    ukey, counts = np.unique(key, return_counts=True)
+    ui = ukey // nf
+    uf = ukey % nf
+    uniq_rows, inv = np.unique(ui, return_inverse=True)
+    sizes = np.bincount(inv)
+    sums = np.bincount(inv, weights=counts)
+    keep_doc = sizes > min_distinct_terms
+    sel = keep_doc[inv]
+    if not sel.all():
+        ui = ui[sel]
+        uf = uf[sel]
+        counts = counts[sel]
+        inv = inv[sel]
+    if ui.size == 0:
+        return _empty()
+    head = np.empty(ui.shape, dtype=np.int32)
+    head[0] = 1
+    head[1:] = (ui[1:] != ui[:-1]).astype(np.int32)
+
+    rows_idx = pa.array(ui)
+    out_conv = pc.take(batch.column("conv_id"), rows_idx)
+    out_turn = pc.cast(pc.take(batch.column("turn_idx"), rows_idx), pa.int32())
+    out_term = pc.take(pa.array(terms_all, type=pa.string()), pa.array(uf))
+    return pa.RecordBatch.from_arrays(
+        [
+            out_conv,
+            out_turn,
+            out_term,
+            pa.array(counts.astype(np.float64)),
+            pa.array(sums[inv]),
+            pa.array(head),
+        ],
+        schema=schema,
+    )
+
+
 def tokenize_turns(
     transcripts: DataFrame,
     ngrams: int = 1,
@@ -329,9 +523,9 @@ def tokenize_turns(
     /root/reference/src/Analyzer/Analyzer.java:156-186).
     """
     cols = ["conv_id", "turn_idx", text_col]
-    vectorized = ngrams == 1 and analyzer in ("reference", "simple")
-
-    if vectorized:
+    # the simple analyzer has no n-gram mode (term_counts ignores
+    # ngrams for it), so it always takes the unigram kernel
+    if ngrams == 1 or analyzer == "simple":
         # Arrow-native hot path: the input batches never become pandas
         # (no Python string materialization for texts or tokens)
         def arrow_partition(batches):
@@ -340,9 +534,30 @@ def tokenize_turns(
                     batch, text_col, analyzer, min_distinct_terms
                 )
 
-        return transcripts.select(*cols).mapInArrow(
-            arrow_partition, schema=POSTINGS_SCHEMA
-        )
+    else:
+
+        def arrow_partition(batches):
+            for batch in batches:
+                yield _arrow_ngram_batch(
+                    batch, text_col, ngrams, min_distinct_terms
+                )
+
+    return transcripts.select(*cols).mapInArrow(
+        arrow_partition, schema=POSTINGS_SCHEMA
+    )
+
+
+def _pandas_ngram_partition(
+    transcripts: DataFrame,
+    ngrams: int,
+    min_distinct_terms: int = 0,
+    text_col: str = "text",
+    analyzer: str = "reference",
+) -> DataFrame:
+    """Retained per-row reference implementation of the n-gram build
+    (the parity suite checks the Arrow kernel against it; not a
+    production route)."""
+    cols = ["conv_id", "turn_idx", text_col]
 
     def analyze_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ir_base_spark.text.analyze import term_counts
