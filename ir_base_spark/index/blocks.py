@@ -184,6 +184,58 @@ def decode_postings_block(
     return ids, w
 
 
+def decode_postings_run(
+    firsts: np.ndarray,
+    lasts: np.ndarray,
+    gaps_list: list,
+    payload_list: list,
+    meta=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc ids, float64 weights) for a whole BLOCK RUN of one term in
+    one shard, decoded in ONE vectorized pass.
+
+    Per-block decode (decode_postings_block) costs ~10 small numpy ops
+    of Python dispatch per 128 postings — measured ~50µs/block, which
+    made batch-query kernels decode-bound. Varbyte is self-delimiting,
+    so the concatenated gap buffers decode in one shot; each block's
+    leading gap is stored as 0 (first_doc rides in metadata), so
+    rewriting position start_i to first_doc_i - last_doc_{i-1} makes a
+    single global cumsum produce exactly the per-block cumsums.
+    Weights use the same expression and operand order as
+    decode_postings_block (elementwise, so per-posting results are
+    bit-identical)."""
+    nb = len(gaps_list)
+    if nb == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if nb == 1:
+        return decode_postings_block(
+            int(firsts[0]), gaps_list[0], payload_list[0], meta
+        )
+    lens = np.fromiter((len(g) for g in gaps_list), dtype=np.int64, count=nb)
+    concat = b"".join(gaps_list)
+    b = np.frombuffer(concat, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    cum_last = np.cumsum(is_last)
+    byte_ends = np.cumsum(lens)
+    n_per_block = np.diff(np.concatenate([[0], cum_last[byte_ends - 1]]))
+    value_starts = np.concatenate(
+        [[0], np.cumsum(n_per_block)[:-1]]
+    ).astype(np.int64)
+    g = varbyte_decode(concat).astype(np.int64)
+    g[value_starts[0]] = firsts[0]
+    g[value_starts[1:]] = firsts[1:] - lasts[:-1]
+    ids = np.cumsum(g)
+    if meta is None:
+        w = np.frombuffer(b"".join(payload_list), dtype=np.float64)
+    else:
+        from .weights import K1 as _K1  # B folded into the sidecar denom
+
+        idf_t, denom, lo = meta
+        tf = varbyte_decode(b"".join(payload_list)).astype(np.float64)
+        w = idf_t * (tf * (_K1 + 1.0) / (denom[ids - lo] + tf))
+    return ids, w
+
+
 _PAYLOAD_KEY = b"sg_payload"
 _PAYLOAD_TF = b"tfv1"
 

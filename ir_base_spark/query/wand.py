@@ -33,7 +33,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..index.blocks import BlockIndex, decode_postings_block
+from ..index.blocks import (
+    BlockIndex,
+    decode_postings_block,
+    decode_postings_run,
+)
 
 _INF = np.iinfo(np.int64).max
 
@@ -402,14 +406,7 @@ def _taat_bucket(
     lo = None
     hi = None
     for tid, (firsts, lasts, maxws, gaps, wbytes, meta) in arrays.items():
-        ids_parts = []
-        w_parts = []
-        for bi in range(len(firsts)):
-            ids, ws = decode_postings_block(firsts[bi], gaps[bi], wbytes[bi], meta)
-            ids_parts.append(ids)
-            w_parts.append(ws)
-        ids = np.concatenate(ids_parts)
-        ws = np.concatenate(w_parts)
+        ids, ws = decode_postings_run(firsts, lasts, gaps, wbytes, meta)
         decoded[tid] = (ids, ws)
         tlo = int(ids[0])
         thi = int(ids[-1])
@@ -463,12 +460,7 @@ def _decode_full_lists(arrays: dict[int, tuple], tids, cache: dict):
         hit = cache.get(tid)
         if hit is None:
             firsts, lasts, maxws, gaps, wbytes, meta = arrays[tid]
-            ids_parts, w_parts = [], []
-            for bi in range(len(firsts)):
-                ids, ws = decode_postings_block(firsts[bi], gaps[bi], wbytes[bi], meta)
-                ids_parts.append(ids)
-                w_parts.append(ws)
-            hit = (np.concatenate(ids_parts), np.concatenate(w_parts))
+            hit = decode_postings_run(firsts, lasts, gaps, wbytes, meta)
             cache[tid] = hit
         out[tid] = hit
     return out
@@ -725,9 +717,24 @@ def wand_topk_sharded(
             f"no sharded block files under {index_root}/blocks/"
             f"partition_id=*/{hint}"
         )
+    # fuse shard files into ~2 tasks per core: one task per FILE pays
+    # the python-worker round trip per shard (measured ~0.15s each — at
+    # 4 cores the 32-task read floor alone was 1.6s, dominating batch
+    # latency); the kernel loop already streams multiple paths per
+    # task, and shard uniformity (test_skew) bounds straggler risk.
+    # sc.parallelize slices the path list into EXACTLY even contiguous
+    # chunks — a repartition() would round-robin from a random offset
+    # per input partition, and the resulting collisions (one task with
+    # 3-4 shards, others empty) were the measured batch straggler
+    n_tasks = max(
+        1, min(len(shard_files), spark.sparkContext.defaultParallelism * 2)
+    )
     fdf = spark.createDataFrame(
-        [(p,) for p in shard_files], "path string"
-    ).repartition(max(1, len(shard_files)))
+        spark.sparkContext.parallelize(
+            [(p,) for p in shard_files], n_tasks
+        ),
+        "path string",
+    )
     if algo == "auto":
         # DAAT block-max WAND wins when pruning can skip most blocks
         # (few selective queries, cursor kernel decodes lazily); a batch

@@ -105,3 +105,52 @@ def test_tf_payload_multibyte_roundtrip():
     ws = np.concatenate(got_ws)
     assert (ids == doc).all()
     assert (ws == w).all()  # bit-identical reconstruction
+
+
+def test_decode_postings_run_bit_exact():
+    """Whole-run vectorized decode == per-block decode, bit-exact, for
+    both payload formats (float64 and TF+sidecar reconstruction),
+    including multibyte gaps and tfs."""
+    import numpy as np
+
+    from ir_base_spark.index.blocks import (
+        _encode_sorted_run_arrow,
+        decode_postings_block,
+        decode_postings_run,
+    )
+    from ir_base_spark.index.weights import B, K1
+
+    n = 700
+    rng = np.random.default_rng(13)
+    doc = np.sort(rng.choice(np.arange(5_000_000), size=n, replace=False))
+    tf = rng.integers(1, 50_000, size=n).astype(np.int64)
+    tid = np.zeros(n, dtype=np.int64)
+    dl = np.zeros(5_000_000, dtype=np.float64)
+    dl[doc] = tf * 3.0
+    idf_t = 1.7
+    denom = K1 * ((1.0 - B) + B * (dl / 40.0))
+    w = idf_t * (tf.astype(np.float64) * (K1 + 1.0) / (denom[doc] + tf))
+
+    for use_tf in (True, False):
+        enc = _encode_sorted_run_arrow(
+            tid, 0, doc, w, 64, tf=tf if use_tf else None
+        )
+        rows = enc.to_pylist()
+        meta = (idf_t, denom, 0) if use_tf else None
+        per_block = [
+            decode_postings_block(
+                r["first_doc"], r["doc_gaps"], r["weights"], meta
+            )
+            for r in rows
+        ]
+        ids_b = np.concatenate([p[0] for p in per_block])
+        ws_b = np.concatenate([p[1] for p in per_block])
+        ids_r, ws_r = decode_postings_run(
+            np.array([r["first_doc"] for r in rows], dtype=np.int64),
+            np.array([r["last_doc"] for r in rows], dtype=np.int64),
+            [r["doc_gaps"] for r in rows],
+            [r["weights"] for r in rows],
+            meta,
+        )
+        assert (ids_r == ids_b).all() and (ids_r == doc).all()
+        assert (ws_r == ws_b).all()  # bit-identical
