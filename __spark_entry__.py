@@ -537,6 +537,103 @@ def _multimodal_sql() -> str:
     )
 
 
+PLSA_K, PLSA_ALPHA, PLSA_BETA, PLSA_LAM, PLSA_ITERS = 3, 2.0, 1.5, 0.3, 2
+
+
+def q_plsa_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pLSA + background LM over the documents table (simple-analyzer
+    postings): per-doc topic proportions after 2 deterministic EM
+    iterations (pLSA.java:155-216; seeded md5 init replaces
+    Math.random — see ops/plsa.py)."""
+    from ir_base_spark.ops.plsa import plsa_train
+    from ir_base_spark.ops.textops import token_counts
+
+    tf = token_counts(_docs(spark, sf_dir)).withColumn(
+        "tf", F.col("tf").cast("double")
+    )
+    theta, _phi = plsa_train(
+        tf, n_topics=PLSA_K, alpha=PLSA_ALPHA, beta=PLSA_BETA,
+        lam=PLSA_LAM, iterations=PLSA_ITERS,
+    )
+    return theta.select(
+        "doc_id",
+        *[F.round(F.col(f"t_{k}"), 6).alias(f"t_{k}") for k in range(PLSA_K)],
+    )
+
+
+def _plsa_sql() -> str:
+    """Iteration-unrolled EM oracle for plsa_topics."""
+    K = PLSA_K
+    am1 = repr(PLSA_ALPHA - 1.0)
+    bm1 = repr(PLSA_BETA - 1.0)
+    lam = repr(PLSA_LAM)
+    oml = repr(1.0 - PLSA_LAM)
+
+    def h(x):
+        return (
+            f"CAST(CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT) "
+            f"AS DOUBLE) / 4294967296.0"
+        )
+
+    ks = range(K)
+    tsum = " + ".join(f"ts{k}" for k in ks)
+    head = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM tok2 GROUP BY 1, 2),
+docs AS (SELECT DISTINCT doc_id FROM tf),
+vocab AS (SELECT term, sum(tf) AS wtf FROM tf GROUP BY term),
+bg AS (SELECT term, ({bm1} + wtf)
+         / (SELECT sum({bm1} + wtf) FROM vocab) AS bg FROM vocab),
+th0r AS (SELECT doc_id, {", ".join(
+    am1 + " + " + h("concat(CAST(doc_id AS VARCHAR), '#t%d')" % k)
+    + " AS ts%d" % k
+    for k in ks)}
+  FROM docs),
+th0 AS (SELECT doc_id, {", ".join(
+    f"ts{k} / ({tsum}) AS t{k}" for k in ks)} FROM th0r),
+ph0r AS (SELECT term, {", ".join(
+    bm1 + " + " + h("concat(term, '#p%d')" % k) + " AS ws%d" % k
+    for k in ks)}
+  FROM vocab),
+ph0tot AS (SELECT {", ".join(f"sum(ws{k}) AS wt{k}" for k in ks)} FROM ph0r),
+ph0 AS (SELECT term, {", ".join(
+    f"ws{k} / wt{k} AS p{k}" for k in ks)} FROM ph0r CROSS JOIN ph0tot)"""
+    steps = []
+    for i in range(1, PLSA_ITERS + 1):
+        p, c = i - 1, i
+        sexpr = " + ".join(f"t{k} * p{k}" for k in ks)
+        steps.append(f""",
+j{c} AS (
+  SELECT f.doc_id, f.term, f.tf,
+         {", ".join(f"t{k}" for k in ks)}, {", ".join(f"p{k}" for k in ks)},
+         bg.bg, ({sexpr}) AS s
+  FROM tf f
+  JOIN th{p} USING (doc_id) JOIN ph{p} USING (term) JOIN bg USING (term)
+),
+e{c} AS (
+  SELECT doc_id, term, {", ".join(
+    f"tf * (1.0 - ({lam} * bg) / ({lam} * bg + {oml} * s)) "
+    f"* t{k} * p{k} / s AS e{k}" for k in ks)}
+  FROM j{c}
+),
+th{c}r AS (SELECT doc_id, {", ".join(
+    f"{am1} + sum(e{k}) AS ts{k}" for k in ks)} FROM e{c} GROUP BY doc_id),
+th{c} AS (SELECT doc_id, {", ".join(
+    f"ts{k} / ({tsum}) AS t{k}" for k in ks)} FROM th{c}r),
+ph{c}r AS (SELECT term, {", ".join(
+    f"{bm1} + sum(e{k}) AS ws{k}" for k in ks)} FROM e{c} GROUP BY term),
+ph{c}tot AS (SELECT {", ".join(
+    f"sum(ws{k}) AS wt{k}" for k in ks)} FROM ph{c}r),
+ph{c} AS (SELECT term, {", ".join(
+    f"ws{k} / wt{k} AS p{k}" for k in ks)} FROM ph{c}r CROSS JOIN ph{c}tot)""")
+    tail = f"""
+SELECT doc_id, {", ".join(f"round(t{k}, 6) AS t_{k}" for k in ks)}
+FROM th{PLSA_ITERS}
+"""
+    return head + "".join(steps) + tail
+
+
 GF_K, GF_KP, GF_ITERS = 3, 4, 3
 GF_ALPHA, GF_BETA, GF_ETA = 1.0, 0.1, 0.1
 
@@ -944,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "gaussian_fields_predict": q_gaussian_fields_predict,
+        "plsa_topics": q_plsa_topics,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
@@ -1585,6 +1683,7 @@ QUALIFY rank <= 10
 """,
         "ann_lsh_topk": _ann_lsh_sql([0], 10, single=True),
         "gaussian_fields_predict": _gaussian_fields_sql(),
+        "plsa_topics": _plsa_sql(),
         "multimodal_features": _multimodal_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """

@@ -46,6 +46,7 @@ ENTRY_BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk_batch",
     "gaussian_fields_predict",
+    "plsa_topics",
     # restored: min-anchor LSH emission bounds the candidate set at O(m)
     # per dup cluster, so the near-dup-heavy sf0.1 corpus is no longer
     # pathological (round-2 verdict item 2)

@@ -116,8 +116,9 @@ def child(cores: int, input_path: str, n_queries: int, partitions: int = 32) -> 
     # chunked MaxScore for a 100-query batch — recorded under its OWN
     # key so cross-round comparisons never mistake it for the cursor
     # kernel; rounds <= 3 recorded this as "wand_sec"); bmw_sec = the
-    # per-posting cursor block-max WAND kernel (the selective/
-    # interactive path); taat_sec = the exhaustive vectorized scorer.
+    # block-max WAND kernel (VECTORIZED window-at-a-time since r5; the
+    # per-posting cursor kernel is demoted to algo="cursor" and not
+    # benchmarked); taat_sec = the exhaustive vectorized scorer.
     # All three are rank-identical
     # (tests/test_wand.py::test_taat_matches_wand_sharded).
     t0 = time.time()
