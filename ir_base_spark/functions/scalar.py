@@ -130,3 +130,98 @@ def lcs_length(a, b) -> Column:
     if _LCS_UDF is None:
         _LCS_UDF = F.pandas_udf(_lcs_batch, "int")
     return _LCS_UDF(a, b)
+
+
+def digamma(x: Column) -> Column:
+    """ψ(x), first derivative of log-gamma — the exact Taylor
+    approximation the reference ships (Utils.digamma :734-742, the
+    Abramowitz & Stegun shift-by-6 form used by its variational LDA).
+    Pure Catalyst arithmetic: whole-stage codegen, no UDF."""
+    x6 = x.cast("double") + F.lit(6.0)
+    p = F.lit(1.0) / (x6 * x6)
+    p = (
+        (
+            (F.lit(0.004166666666667) * p - F.lit(0.003968253986254)) * p
+            + F.lit(0.008333333333333)
+        )
+        * p
+        - F.lit(0.083333333333333)
+    ) * p
+    out = p + F.log(x6) - F.lit(0.5) / x6
+    for i in range(1, 7):
+        out = out - F.lit(1.0) / (x6 - F.lit(float(i)))
+    return out
+
+
+def trigamma(x: Column) -> Column:
+    """ψ'(x), second derivative of log-gamma (Utils.trigamma :713-726,
+    A&S 6.4.11/6.4.12 with the 6.4.6 recurrence unrolled)."""
+    x6 = x.cast("double") + F.lit(6.0)
+    p = F.lit(1.0) / (x6 * x6)
+    p = (
+        (
+            (
+                (
+                    (F.lit(0.075757575757576) * p - F.lit(0.033333333333333))
+                    * p
+                    + F.lit(0.0238095238095238)
+                )
+                * p
+                - F.lit(0.033333333333333)
+            )
+            * p
+            + F.lit(0.166666666666667)
+        )
+        * p
+        + F.lit(1.0)
+    ) / x6 + F.lit(0.5) * p
+    # recurrence: six steps of p += 1/(x-1)^2 walking x6 back down to x
+    for i in range(1, 7):
+        xi = x6 - F.lit(float(i))
+        p = F.lit(1.0) / (xi * xi) + p
+    return p
+
+
+def lgamma(x: Column) -> Column:
+    """log Γ(x) for x > 0 — the reference's series algorithm
+    (Utils.lgamma :744-783): shift x below 7 up to x0 = x + n, evaluate
+    the asymptotic series at x0, subtract the n shift logs. The
+    data-dependent loop count (n = int(7-x) ∈ 0..6) unrolls into a
+    when-chain, keeping the whole thing a codegen'd column expression.
+    Matches the Java routine's special cases (x<=0 -> 1e308,
+    x in {1,2} -> 0)."""
+    a = [
+        8.333333333333333e-02, -2.777777777777778e-03,
+        7.936507936507937e-04, -5.952380952380952e-04,
+        8.417508417508418e-04, -1.917526917526918e-03,
+        6.410256410256410e-03, -2.955065359477124e-02,
+        1.796443723688307e-01, -1.39243221690590,
+    ]
+    xd = x.cast("double")
+
+    def series(x0):
+        x2 = F.lit(1.0) / (x0 * x0)
+        gl0 = F.lit(a[9])
+        for k in range(8, -1, -1):
+            gl0 = gl0 * x2 + F.lit(a[k])
+        return (
+            gl0 / x0
+            + F.lit(0.5) * F.log(F.lit(2.0 * 3.141592653589793))
+            + (x0 - F.lit(0.5)) * F.log(x0)
+            - x0
+        )
+
+    def shifted(n):
+        x0 = xd + F.lit(float(n))
+        out = series(x0)
+        for k in range(1, n + 1):
+            out = out - F.log(x0 - F.lit(float(k)))
+        return out
+
+    expr = F.when(xd <= F.lit(0.0), F.lit(1e308)).when(
+        (xd == F.lit(1.0)) | (xd == F.lit(2.0)), F.lit(0.0)
+    )
+    for n in range(0, 7):
+        # n = int(7 - x): x in (7-n-1, 7-n] -> shift by n
+        expr = expr.when(xd > F.lit(float(6 - n)), shifted(n))
+    return expr.otherwise(shifted(6))
