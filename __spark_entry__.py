@@ -537,6 +537,127 @@ def _multimodal_sql() -> str:
     )
 
 
+ASPECT_SEEDS = [
+    (0, "scan"), (0, "table"), (0, "row"),
+    (1, "join"), (1, "hash"), (1, "key"),
+    (2, "window"), (2, "agg"), (2, "batch"),
+]
+ASPECT_K, ASPECT_CHI_SIZE, ASPECT_RATIO, ASPECT_ITERS = 3, 6, 1.0, 2
+
+
+def q_aspect_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect keyword bootstrapping over the documents table: three
+    seeded aspects expanded by two chi-square rounds
+    (AspectAnalyzer.BootStrapping, :200-229; the aspect seed file is an
+    input DataFrame here)."""
+    from ir_base_spark.ops.aspect import aspect_bootstrap
+    from ir_base_spark.ops.textops import simple_tokens
+
+    dt = simple_tokens(_docs(spark, sf_dir))
+    seeds = spark.createDataFrame(ASPECT_SEEDS, "aspect_id int, term string")
+    kw, _asg = aspect_bootstrap(
+        dt, seeds, n_aspects=ASPECT_K, chi_size=ASPECT_CHI_SIZE,
+        chi_ratio=ASPECT_RATIO, iterations=ASPECT_ITERS,
+    )
+    return kw
+
+
+def _aspect_sql() -> str:
+    """Iteration-unrolled bootstrap oracle for aspect_keywords."""
+    K, ratio = ASPECT_K, repr(ASPECT_RATIO)
+    ks = range(K)
+    seeds_vals = ", ".join(f"({a}, '{t}')" for a, t in ASPECT_SEEDS)
+
+    # in-order unique-argmax fold (Annotate :112-122), textual
+    sel, mx = "-1", "CAST(0 AS BIGINT)"
+    for k in ks:
+        sel = (
+            f"CASE WHEN c{k} > {mx} THEN {k} "
+            f"WHEN c{k} = {mx} THEN -1 ELSE {sel} END"
+        )
+        mx = f"greatest({mx}, c{k})"
+
+    def chi(k):
+        a = f"CAST(w{k} AS DOUBLE)"
+        nn = "CAST(N AS DOUBLE)"
+        cdf = f"CAST(d{k} AS DOUBLE)"
+        b = f"(DF - {a})"
+        c = f"({cdf} - {a})"
+        d = f"({nn} - DF - {cdf} + {a})"
+        return (
+            f"CASE WHEN DF <= 0 OR {cdf} <= 0 OR DF >= {nn} "
+            f"OR {cdf} >= {nn} THEN 0.0 ELSE "
+            f"{nn} * ({a} * {d} - {b} * {c}) * ({a} * {d} - {b} * {c}) "
+            f"/ {cdf} / ({b} + {d}) / DF / ({c} + {d}) END"
+        )
+
+    # sequential chi scan fold over precomputed chi{k} columns
+    sid, mxc = "-1", "0.0"
+    for k in ks:
+        cond = f"chi{k} > {ratio} * ({mxc})"
+        sid = f"CASE WHEN {cond} THEN {k} ELSE {sid} END"
+        mxc = f"CASE WHEN {cond} THEN chi{k} ELSE ({mxc}) END"
+
+    csum = lambda col: ", ".join(  # noqa: E731
+        f"CAST(sum(CASE WHEN aspect_id = {k} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS {col}{k}"
+        for k in ks
+    )
+    dfsum = " + ".join(f"CAST(w{k} AS DOUBLE)" for k in ks)
+
+    head = f"""
+WITH {_TOK_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM tok2),
+kw0 AS (SELECT * FROM (VALUES {seeds_vals}) AS t(aspect_id, term))"""
+    steps = []
+    for i in range(1, ASPECT_ITERS + 1):
+        p = i - 1
+        steps.append(f""",
+ann{i} AS (
+  SELECT doc_id, {csum('c')}
+  FROM dt JOIN kw{p} USING (term) GROUP BY doc_id
+),
+asg{i} AS (
+  SELECT doc_id, aspect_id FROM (
+    SELECT doc_id, {sel} AS aspect_id FROM ann{i}
+  ) WHERE aspect_id >= 0
+),
+dist{i} AS (SELECT CAST(count(*) AS BIGINT) AS N, {csum('d')} FROM asg{i}),
+wst{i} AS (
+  SELECT term, {csum('w')}
+  FROM dt JOIN asg{i} USING (doc_id) GROUP BY term
+),
+sc{i} AS (
+  SELECT term, {", ".join(f"w{k}" for k in ks)}, N,
+         {", ".join(f"d{k}" for k in ks)}, ({dfsum}) AS DF
+  FROM wst{i} CROSS JOIN dist{i}
+),
+sch{i} AS (
+  SELECT term, {", ".join(chi(k) + f" AS chi{k}" for k in ks)}
+  FROM sc{i}
+),
+cand{i} AS (
+  SELECT term, {sid} AS aspect_id, {mxc} AS chi FROM sch{i}
+),
+top{i} AS (
+  SELECT aspect_id, term FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY aspect_id ORDER BY chi DESC, term ASC) AS rn
+    FROM cand{i} WHERE aspect_id >= 0
+  ) WHERE rn <= {ASPECT_CHI_SIZE}
+),
+kw{i} AS (
+  SELECT DISTINCT aspect_id, term FROM (
+    SELECT aspect_id, term FROM kw{p}
+    UNION ALL SELECT aspect_id, term FROM top{i}
+  )
+)""")
+    tail = f"""
+SELECT aspect_id, term FROM kw{ASPECT_ITERS}
+"""
+    return head + "".join(steps) + tail
+
+
 PLSA_K, PLSA_ALPHA, PLSA_BETA, PLSA_LAM, PLSA_ITERS = 3, 2.0, 1.5, 0.3, 2
 
 
@@ -1042,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "gaussian_fields_predict": q_gaussian_fields_predict,
         "plsa_topics": q_plsa_topics,
+        "aspect_keywords": q_aspect_keywords,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
@@ -1684,6 +1806,7 @@ QUALIFY rank <= 10
         "ann_lsh_topk": _ann_lsh_sql([0], 10, single=True),
         "gaussian_fields_predict": _gaussian_fields_sql(),
         "plsa_topics": _plsa_sql(),
+        "aspect_keywords": _aspect_sql(),
         "multimodal_features": _multimodal_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """

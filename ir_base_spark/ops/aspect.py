@@ -1,0 +1,170 @@
+"""Aspect detection by seed keywords + chi-square bootstrapping.
+
+Deterministic Spark analog of the reference's AspectAnalyzer
+(/root/reference/src/Analyzer/AspectAnalyzer.java:37,110-229): aspects
+start from seed keyword sets; each round (a) annotates every text unit
+with the aspect whose keywords it matches most (distinct-term count,
+unique argmax in aspect order — ties and zero matches leave the unit
+unassigned, `Annotate` :110-124), (b) collects per-(term, aspect)
+DF statistics over the ASSIGNED units only (`collectStats` :126-136),
+(c) scores every observed term against every aspect with
+Utils.ChiSquare and assigns it to an aspect via the reference's
+sequential scan (`chiV > ratio*maxChi`, `expandKeywordsByChi`
+:161-198), and (d) each aspect adopts its top `chi_size` candidates by
+chi value. The aspect "file" becomes an input DataFrame (the reference
+reads a bundled text file — the data file is caller input here, which
+is what made this row out-of-scope before).
+
+Deviations, documented: fixed round count instead of the
+expanded-anything convergence test (pinned work, oracle-able);
+candidate ties inside the bounded queue break deterministically by
+(chi desc, term asc) (Java's MyPriorityQueue leaves equal-value order
+unspecified); the reference's sentence unit is the doc/turn here
+(SURVEY §2.2: turns are the sub-document unit). Degenerate chi-square
+cells (a zero marginal: DF∈{0,N} or aspect count∈{0,N}) are scored 0
+— the Java formula yields NaN there, and NaN never wins the
+`>` comparison either.
+
+Scale shape: the keyword table is tiny and BROADCASTS; each round is
+two joins against the distinct (doc, term) projection plus K-column
+conditional aggregations (K = #aspects, all codegen) — no UDFs, no
+per-row Python, no cross joins. The distinct projection is computed
+once and cached across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _safe_chi(n, df, tc_df, c_df):
+    """Utils.ChiSquare with the degenerate cells pinned to 0.0 (see
+    module docstring). Denominator factors: cDF·(N−cDF)·DF·(N−DF)."""
+    from ..functions.scalar import chi_square
+
+    return (
+        F.when(
+            (df <= F.lit(0.0)) | (c_df <= F.lit(0.0))
+            | (df >= n) | (c_df >= n),
+            F.lit(0.0),
+        )
+        .otherwise(chi_square(n, df, tc_df, c_df))
+    )
+
+
+def aspect_bootstrap(
+    postings: DataFrame,
+    seeds: DataFrame,
+    n_aspects: int,
+    chi_size: int = 3,
+    chi_ratio: float = 1.0,
+    iterations: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """postings(doc_id, term) + seeds(aspect_id, term) → (keywords,
+    assignments).
+
+    keywords: (aspect_id, term) — the expanded keyword sets after
+    ``iterations`` bootstrap rounds. assignments: (doc_id, aspect_id)
+    — the annotation under the FINAL keyword sets (unassigned docs
+    omitted).
+    """
+    K = n_aspects
+    dt = postings.select("doc_id", "term").distinct().cache()
+    kw = seeds.select("aspect_id", "term")
+
+    def annotate(kw_df):
+        m = (
+            dt.join(F.broadcast(kw_df), "term")
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(F.col("aspect_id") == k, F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ).alias(f"c{k}")
+                    for k in range(K)
+                ]
+            )
+        )
+        # the reference's in-order scan: unique argmax wins, any tie
+        # (including 0==0) unassigns (Annotate :112-122)
+        sel = F.lit(-1)
+        mx = F.lit(0).cast("long")
+        for k in range(K):
+            ck = F.col(f"c{k}")
+            new_sel = (
+                F.when(ck > mx, F.lit(k))
+                .when(ck == mx, F.lit(-1))
+                .otherwise(sel)
+            )
+            mx = F.greatest(mx, ck)
+            sel = new_sel
+        return m.select("doc_id", sel.alias("aspect_id")).filter(
+            F.col("aspect_id") >= 0
+        )
+
+    for _ in range(iterations):
+        asg = annotate(kw)
+        dist = asg.groupBy().agg(
+            F.count(F.lit(1)).alias("N"),
+            *[
+                F.sum(
+                    F.when(F.col("aspect_id") == k, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"d{k}")
+                for k in range(K)
+            ],
+        )
+        wstat = (
+            dt.join(asg, "doc_id")
+            .groupBy("term")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(F.col("aspect_id") == k, F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ).alias(f"w{k}")
+                    for k in range(K)
+                ]
+            )
+        )
+        dfsum = F.col("w0").cast("double")
+        for k in range(1, K):
+            dfsum = dfsum + F.col(f"w{k}").cast("double")
+        scored = wstat.crossJoin(F.broadcast(dist)).withColumn("DF", dfsum)
+        for k in range(K):
+            scored = scored.withColumn(
+                f"chi{k}",
+                _safe_chi(
+                    F.col("N").cast("double"),
+                    F.col("DF"),
+                    F.col(f"w{k}").cast("double"),
+                    F.col(f"d{k}").cast("double"),
+                ),
+            )
+        # sequential chi scan (expandKeywordsByChi :175-189):
+        # chi_k > ratio * runningMax selects k and raises the max
+        sid = F.lit(-1)
+        mxc = F.lit(0.0)
+        for k in range(K):
+            chi_k = F.col(f"chi{k}")
+            cond = chi_k > F.lit(chi_ratio) * mxc
+            new_sid = F.when(cond, F.lit(k)).otherwise(sid)
+            mxc = F.when(cond, chi_k).otherwise(mxc)
+            sid = new_sid
+        cand = scored.select(
+            "term", sid.alias("aspect_id"), mxc.alias("chi")
+        ).filter(F.col("aspect_id") >= 0)
+        w = Window.partitionBy("aspect_id").orderBy(
+            F.col("chi").desc(), F.col("term").asc()
+        )
+        top = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= chi_size)
+            .select("aspect_id", "term")
+        )
+        kw = kw.unionByName(top).distinct()
+
+    return kw, annotate(kw)
