@@ -658,6 +658,92 @@ SELECT aspect_id, term FROM kw{ASPECT_ITERS}
     return head + "".join(steps) + tail
 
 
+def _senti_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, tokens, pos_tags) with the deterministic
+    tag rule shared with pos_projection's entry ('%ly'→RB, len>=7→JJ,
+    else NN)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    return d.select(
+        "doc_id",
+        toks.alias("tokens"),
+        F.transform(
+            toks,
+            lambda t: F.when(t.like("%ly"), F.lit("RB"))
+            .when(F.length(t) >= 7, F.lit("JJ"))
+            .otherwise(F.lit("NN")),
+        ).alias("pos_tags"),
+    )
+
+
+def q_sentiword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentiWordNet doc scoring: fixture lexicon (SWN line format) →
+    reference dictionary fold → per-doc average sentiment
+    (SentiWordNet.java:32-139, DocAnalyzer.sentiWordScore:198-220).
+    stem=False here so the DuckDB oracle can restate the pipeline; the
+    stemmed path is pytest-verified (test_senti)."""
+    from ir_base_spark.ops.senti import (
+        LEXICON_DDL,
+        make_senti_lexicon,
+        sentiword_doc_scores,
+        sentiwordnet_dictionary,
+    )
+
+    lex = spark.createDataFrame(make_senti_lexicon(), LEXICON_DDL)
+    d = sentiwordnet_dictionary(lex, stem=False)
+    out = sentiword_doc_scores(_senti_tagged(spark, sf_dir), d, stem=False)
+    return out.select(
+        "doc_id", F.round(F.col("senti_score"), 9).alias("senti_score")
+    )
+
+
+def _senti_sql() -> str:
+    """Oracle for sentiword_scores: the dictionary is restated by an
+    INDEPENDENT Python fold over the fixture lexicon (VALUES literals);
+    tagging, lookup and the average run in SQL."""
+    from ir_base_spark.ops.senti import make_senti_lexicon
+
+    senses: dict[str, dict[int, float]] = {}
+    for pos, _sid, ps, ns, terms in make_senti_lexicon():
+        for tr in terms.split(" "):
+            word, rank = tr.split("#")
+            w = word.lower()
+            w = "NUM" if w.isdigit() else w
+            senses.setdefault(f"{w}#{pos}", {})[int(rank)] = ps - ns
+    vals = []
+    for key, by_rank in sorted(senses.items()):
+        score, count = 0.0, 0
+        for _r, s in sorted(by_rank.items()):
+            if s != 0:
+                score += s
+                count += 1
+            if score != 0:
+                score = score / count
+        vals.append(f"('{key}', {score!r})")
+    return f"""
+WITH dict AS (SELECT * FROM (VALUES {", ".join(vals)}) AS d(key, score)),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+  FROM documents
+), tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+keyed AS (
+  SELECT doc_id,
+         concat(CASE WHEN regexp_matches(w, '^[0-9]+$') THEN 'NUM' ELSE w END,
+                '#',
+                CASE WHEN w LIKE '%ly' THEN 'r'
+                     WHEN length(w) >= 7 THEN 'a'
+                     ELSE 'n' END) AS key
+  FROM tok2
+)
+SELECT k.doc_id,
+       round(sum(coalesce(d.score, 0.0)) / count(*), 9) AS senti_score
+FROM keyed k LEFT JOIN dict d USING (key)
+GROUP BY k.doc_id
+"""
+
+
 PLSA_K, PLSA_ALPHA, PLSA_BETA, PLSA_LAM, PLSA_ITERS = 3, 2.0, 1.5, 0.3, 2
 
 
@@ -1164,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_fields_predict": q_gaussian_fields_predict,
         "plsa_topics": q_plsa_topics,
         "aspect_keywords": q_aspect_keywords,
+        "sentiword_scores": q_sentiword_scores,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
@@ -1807,6 +1894,7 @@ QUALIFY rank <= 10
         "gaussian_fields_predict": _gaussian_fields_sql(),
         "plsa_topics": _plsa_sql(),
         "aspect_keywords": _aspect_sql(),
+        "sentiword_scores": _senti_sql(),
         "multimodal_features": _multimodal_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """
