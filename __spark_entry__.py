@@ -744,6 +744,83 @@ GROUP BY k.doc_id
 """
 
 
+PR_K, PR_ALPHA, PR_ITERS, PR_MIN = 5, 0.15, 2, 10
+
+
+def q_pagerank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PageRank instance weighting: documents grouped by
+    source, k-NN softmax similarity digraph over their embeddings,
+    damped power iteration, weight = 1 + 10*rank
+    (influence/PageRank.java:25,129-168)."""
+    from ir_base_spark.ops.pagerank import pagerank_instance_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    e = _tbl(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    v = d.join(e, "doc_id")
+    return pagerank_instance_weights(
+        v, top_k=PR_K, alpha=PR_ALPHA, iterations=PR_ITERS,
+        min_group_size=PR_MIN, group_col="source", id_col="doc_id",
+        vec_col="vec",
+    )
+
+
+def _pagerank_sql() -> str:
+    """Iteration-unrolled oracle for pagerank_weights."""
+    al, oma = repr(PR_ALPHA), repr(1.0 - PR_ALPHA)
+    head = f"""
+WITH V AS (
+  SELECT d.source AS g, d.doc_id AS id, e.embedding::DOUBLE[] AS vec
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+sz AS (SELECT g, CAST(count(*) AS BIGINT) AS N FROM V GROUP BY g
+       HAVING count(*) > {PR_MIN}),
+Vn AS (SELECT V.g, V.id, V.vec, sz.N FROM V JOIN sz USING (g)),
+pr AS (
+  SELECT a.g, a.id AS src, b.id AS dst,
+         round(list_inner_product(a.vec, b.vec), 6) AS s
+  FROM Vn a JOIN Vn b ON a.g = b.g AND a.id <> b.id
+),
+top AS (
+  SELECT g, src, dst, s FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY g, src ORDER BY s DESC, dst ASC) AS rn FROM pr
+  ) WHERE rn <= {PR_K}
+),
+ed AS (
+  SELECT g, src, dst,
+         exp(s) / sum(exp(s)) OVER (PARTITION BY g, src) AS w
+  FROM top
+),
+r0 AS (SELECT g, id, N, 1.0 / sqrt(N) AS r FROM Vn)"""
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        steps.append(f""",
+inc{i} AS (
+  SELECT ed.g, ed.dst, sum(ed.w * r{p}.r) AS infl
+  FROM ed JOIN r{p} ON ed.g = r{p}.g AND ed.src = r{p}.id
+  GROUP BY ed.g, ed.dst
+),
+upd{i} AS (
+  SELECT n.g, n.id, n.N,
+         {al} / n.N + {oma} * coalesce(i.infl, 0.0) AS r
+  FROM r{p} n LEFT JOIN inc{i} i ON n.g = i.g AND n.id = i.dst
+),
+nrm{i} AS (SELECT g, sqrt(sum(r * r)) AS nrm FROM upd{i} GROUP BY g),
+r{i} AS (
+  SELECT u.g, u.id, u.N, u.r / m.nrm AS r
+  FROM upd{i} u JOIN nrm{i} m USING (g)
+)""")
+    tail = f"""
+SELECT g AS source, id AS doc_id, round(r, 6) AS rank6,
+       round(1.0 + 10.0 * r, 6) AS weight6
+FROM r{PR_ITERS}
+"""
+    return head + "".join(steps) + tail
+
+
 PLSA_K, PLSA_ALPHA, PLSA_BETA, PLSA_LAM, PLSA_ITERS = 3, 2.0, 1.5, 0.3, 2
 
 
@@ -1251,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plsa_topics": q_plsa_topics,
         "aspect_keywords": q_aspect_keywords,
         "sentiword_scores": q_sentiword_scores,
+        "pagerank_weights": q_pagerank_weights,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
@@ -1895,6 +1973,7 @@ QUALIFY rank <= 10
         "plsa_topics": _plsa_sql(),
         "aspect_keywords": _aspect_sql(),
         "sentiword_scores": _senti_sql(),
+        "pagerank_weights": _pagerank_sql(),
         "multimodal_features": _multimodal_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """
