@@ -744,6 +744,80 @@ GROUP BY k.doc_id
 """
 
 
+KM_K, KM_ITERS = 4, 2
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-distance KMeans over the embeddings table (deterministic
+    Lloyd analog of clustering/KMeansAlg.java:29 + CosineDistance)."""
+    from ir_base_spark.ops.kmeans import kmeans_cosine
+
+    v = _tbl(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    out = kmeans_cosine(v, k=KM_K, iterations=KM_ITERS)
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster", "dist9"
+    )
+
+
+def _kmeans_sql() -> str:
+    """Iteration-unrolled Lloyd oracle for kmeans_clusters."""
+    assign_tpl = """
+cn{i} AS (SELECT c, sqrt(sum(cval * cval)) AS cn FROM cent{p} GROUP BY c),
+dot{i} AS (
+  SELECT X.id, cent{p}.c, sum(X.val * cent{p}.cval) AS dot
+  FROM X JOIN cent{p} USING (pos) GROUP BY X.id, cent{p}.c
+),
+dist{i} AS (
+  SELECT d.id, d.c, round(1.0 - d.dot / x.xn / n.cn, 9) AS dist
+  FROM dot{i} d JOIN cn{i} n USING (c) JOIN xn x USING (id)
+),
+asg{i} AS (
+  SELECT id, c, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY dist ASC, c ASC) AS rn FROM dist{i}
+  ) WHERE rn = 1
+)"""
+    head = f"""
+WITH X AS (
+  SELECT vec_id AS id,
+         unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+xn AS (SELECT id, sqrt(sum(val * val)) AS xn FROM X GROUP BY id),
+seed AS (
+  SELECT id, c FROM (
+    SELECT id, row_number() OVER (ORDER BY id ASC) - 1 AS c
+    FROM (SELECT DISTINCT id FROM X)
+  ) WHERE c < {KM_K}
+),
+cent0 AS (
+  SELECT s.c, X.pos, X.val AS cval FROM X JOIN seed s USING (id)
+)"""
+    steps = []
+    for i in range(1, KM_ITERS + 1):
+        steps.append("," + assign_tpl.format(i=i, p=i - 1) + f""",
+newc{i} AS (
+  SELECT a.c, X.pos, avg(X.val) AS cval
+  FROM X JOIN asg{i} a USING (id) GROUP BY a.c, X.pos
+),
+cent{i} AS (
+  SELECT o.c, o.pos, coalesce(n.cval, o.cval) AS cval
+  FROM cent{i - 1} o LEFT JOIN newc{i} n ON o.c = n.c AND o.pos = n.pos
+)""")
+    fin = KM_ITERS + 1
+    tail = (
+        "," + assign_tpl.format(i=fin, p=KM_ITERS)
+        + f"""
+SELECT id AS vec_id, CAST(c AS INTEGER) AS cluster, dist AS dist9 FROM asg{fin}
+"""
+    )
+    return head + "".join(steps) + tail
+
+
 PR_K, PR_ALPHA, PR_ITERS, PR_MIN = 5, 0.15, 2, 10
 
 
@@ -1329,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_keywords": q_aspect_keywords,
         "sentiword_scores": q_sentiword_scores,
         "pagerank_weights": q_pagerank_weights,
+        "kmeans_clusters": q_kmeans_clusters,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
@@ -1974,6 +2049,7 @@ QUALIFY rank <= 10
         "aspect_keywords": _aspect_sql(),
         "sentiword_scores": _senti_sql(),
         "pagerank_weights": _pagerank_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         "multimodal_features": _multimodal_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """
