@@ -744,6 +744,208 @@ GROUP BY k.doc_id
 """
 
 
+LDA_K, LDA_ALPHA0, LDA_BETA = 3, 1.0, 1.5
+LDA_EM, LDA_VAR, LDA_NEWTON = 2, 2, 2
+
+
+def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variational LDA over the documents table: normalized per-doc
+    Dirichlet params after 2 deterministic EM iterations
+    (LDA_Variational.java:106-199; seeded init + fixed iteration
+    schedule — see ops/lda.py)."""
+    from ir_base_spark.ops.lda import lda_variational_train
+    from ir_base_spark.ops.textops import token_counts
+
+    tf = token_counts(_docs(spark, sf_dir)).withColumn(
+        "tf", F.col("tf").cast("double")
+    )
+    gamma, _lp, _alpha = lda_variational_train(
+        tf, n_topics=LDA_K, alpha0=LDA_ALPHA0, beta=LDA_BETA,
+        em_iters=LDA_EM, var_iters=LDA_VAR, newton_steps=LDA_NEWTON,
+    )
+    gsum = F.col("g_0")
+    for k in range(1, LDA_K):
+        gsum = gsum + F.col(f"g_{k}")
+    return gamma.select(
+        "doc_id",
+        *[
+            F.round(F.col(f"g_{k}") / gsum, 6).alias(f"t_{k}")
+            for k in range(LDA_K)
+        ],
+    )
+
+
+def _dg_sql(x: str) -> str:
+    """SQL text of functions.scalar.digamma — identical op order."""
+    x6 = f"(({x}) + 6.0)"
+    p = f"(1.0 / ({x6} * {x6}))"
+    p2 = (
+        f"((((0.004166666666667 * {p} - 0.003968253986254) * {p} "
+        f"+ 0.008333333333333) * {p} - 0.083333333333333) * {p})"
+    )
+    tail = " - ".join(f"1.0 / ({x6} - {i}.0)" for i in range(1, 7))
+    return f"({p2} + ln({x6}) - 0.5 / {x6} - {tail})"
+
+
+def _tg_sql(x: str) -> str:
+    """SQL text of functions.scalar.trigamma — identical op order."""
+    x6 = f"(({x}) + 6.0)"
+    p = f"(1.0 / ({x6} * {x6}))"
+    base = (
+        f"((((((0.075757575757576 * {p} - 0.033333333333333) * {p} "
+        f"+ 0.0238095238095238) * {p} - 0.033333333333333) * {p} "
+        f"+ 0.166666666666667) * {p} + 1.0) / {x6} + 0.5 * {p})"
+    )
+    # recurrence nests exactly like the Java loop (p = 1/(x-i)^2 + p
+    # walking i = 1..6): innermost is the base, each step wraps it
+    out = base
+    for i in range(1, 7):
+        out = f"(1.0 / (({x6} - {i}.0) * ({x6} - {i}.0)) + {out})"
+    return out
+
+
+def _lda_newton_sql(tag: str, prev: str, ks) -> list[str]:
+    """One-row CTE chain: damped Newton steps on the alpha row.
+    ``prev`` carries columns (D, st{k}, a{k})."""
+    ctes = []
+    cur = prev
+    for s in range(1, LDA_NEWTON + 1):
+        asum = " + ".join(f"a{k}" for k in ks)
+        a_ = f"{tag}s{s}a"
+        b_ = f"{tag}s{s}b"
+        o_ = f"{tag}s{s}"
+        ctes.append(f"""
+{a_} AS (
+  SELECT *, {_dg_sql(asum)} AS diA, D * {_tg_sql(asum)} AS z
+  FROM {cur}
+),
+{b_} AS (
+  SELECT *, {", ".join(
+      f"D * (diA - {_dg_sql(f'a{k}')}) + st{k} AS gg{k}, "
+      f"-(D * {_tg_sql(f'a{k}')}) AS hh{k}"
+      for k in ks)}
+  FROM {a_}
+),
+{o_} AS (
+  SELECT D, {", ".join(f"st{k}" for k in ks)},
+         {", ".join(
+      f"a{k} - 0.001 * (gg{k} - (({' + '.join(f'gg{j} / hh{j}' for j in ks)}) "
+      f"/ (1.0 / z + ({' + '.join(f'1.0 / hh{j}' for j in ks)})))) / hh{k} "
+      f"AS a{k}"
+      for k in ks)}
+  FROM {b_}
+)""")
+        cur = o_
+    return ctes
+
+
+def _lda_sql() -> str:
+    """Iteration-unrolled variational-LDA oracle for lda_topics."""
+    ks = range(LDA_K)
+    a0, bm1 = repr(LDA_ALPHA0), repr(LDA_BETA - 1.0)
+
+    def h(k):
+        inner = (
+            f"concat(CAST(d AS VARCHAR), '#', w, '#{k}')"
+        )
+        return (
+            f"CAST(CAST(concat('0x', substr(md5({inner}), 1, 8)) AS BIGINT) "
+            f"AS DOUBLE) / 4294967296.0"
+        )
+
+    rsum = " + ".join(f"r{k}" for k in ks)
+    gsum = " + ".join(f"g{k}" for k in ks)
+
+    def gamma_cte(name, ph, alpha_row):
+        qs = ", ".join(f"sum(p{k} * v) AS q{k}" for k in ks)
+        gs = ", ".join(f"a{k} + q{k} AS g{k}" for k in ks)
+        return f"""
+{name}q AS (SELECT d, {qs} FROM {ph} GROUP BY d),
+{name} AS (SELECT d, {gs} FROM {name}q CROSS JOIN
+  (SELECT {", ".join(f"a{k}" for k in ks)} FROM {alpha_row}))"""
+
+    def logphi_cte(name, ph):
+        ss = ", ".join(f"{bm1} + sum(p{k} * v) AS s{k}" for k in ks)
+        ts = ", ".join(f"sum(s{k}) AS t{k}" for k in ks)
+        lps = ", ".join(f"ln(s{k} / t{k}) AS lp{k}" for k in ks)
+        return f"""
+{name}s AS (SELECT w, {ss} FROM {ph} GROUP BY w),
+{name}t AS (SELECT {ts} FROM {name}s),
+{name} AS (SELECT w, {lps} FROM {name}s CROSS JOIN {name}t)"""
+
+    def astat_cte(name, gm):
+        sts = ", ".join(
+            f"sum({_dg_sql(f'g{k}')} - {_dg_sql(gsum)}) AS st{k}" for k in ks
+        )
+        return f"""
+{name} AS (SELECT CAST(count(*) AS DOUBLE) AS D, {sts} FROM {gm})"""
+
+    parts = [f"""
+WITH {_TOK_CTE},
+tfc AS (SELECT doc_id AS d, term AS w, CAST(count(*) AS DOUBLE) AS v
+        FROM tok2 GROUP BY 1, 2),
+ph0r AS (
+  SELECT d, w, v, {", ".join(f"{a0} + {h(k)} AS r{k}" for k in ks)}
+  FROM tfc
+),
+ph0 AS (
+  SELECT d, w, v, {", ".join(f"r{k} / ({rsum}) AS p{k}" for k in ks)}
+  FROM ph0r
+),
+alit AS (SELECT {", ".join(f"{a0} AS a{k}" for k in ks)}),"""]
+    parts.append(gamma_cte("gm0", "ph0", "alit") + ",")
+    parts.append(logphi_cte("lp0", "ph0") + ",")
+    parts.append(astat_cte("ast0", "gm0") + ",")
+    parts.append(f"""
+al0 AS (SELECT ast0.*, {", ".join(f"{a0} AS a{k}" for k in ks)} FROM ast0),""")
+    parts.append(",".join(_lda_newton_sql("nw0", "al0", ks)))
+    alpha_row = f"nw0s{LDA_NEWTON}"
+    gm, lp = "gm0", "lp0"
+
+    for e in range(1, LDA_EM + 1):
+        for t in range(1, LDA_VAR + 1):
+            jn = f"jn{e}_{t}"
+            xx = f"xx{e}_{t}"
+            ph = f"ph{e}_{t}"
+            xs = ", ".join(
+                f"lp{k} + {_dg_sql(f'g{k}')} AS x{k}" for k in ks
+            )
+            mx = "greatest(" + ", ".join(f"x{k}" for k in ks) + ")"
+            es = " + ".join(f"exp(x{k} - m)" for k in ks)
+            parts.append(f""",
+{jn} AS (SELECT P.d, P.w, P.v, {", ".join(f"lp{k}" for k in ks)},
+               {", ".join(f"g{k}" for k in ks)}
+        FROM tfc P JOIN {gm} USING (d) JOIN {lp} USING (w)),
+{xx}0 AS (SELECT d, w, v, {xs} FROM {jn}),
+{xx} AS (SELECT *, {mx} AS m FROM {xx}0),
+{ph} AS (
+  SELECT d, w, v,
+         {", ".join(f"exp(x{k} - (m + ln({es}))) AS p{k}" for k in ks)}
+  FROM {xx}
+)""")
+            parts.append(",")
+            parts.append(gamma_cte(f"gm{e}_{t}", ph, alpha_row))
+            gm = f"gm{e}_{t}"
+        parts.append(",")
+        parts.append(logphi_cte(f"lp{e}", f"ph{e}_{LDA_VAR}"))
+        parts.append(",")
+        parts.append(astat_cte(f"ast{e}", gm))
+        parts.append(f""",
+al{e} AS (SELECT ast{e}.*, {", ".join(f"a{k}" for k in ks)}
+         FROM ast{e} CROSS JOIN
+           (SELECT {", ".join(f"a{k}" for k in ks)} FROM {alpha_row})),""")
+        parts.append(",".join(_lda_newton_sql(f"nw{e}", f"al{e}", ks)))
+        alpha_row = f"nw{e}s{LDA_NEWTON}"
+        lp = f"lp{e}"
+
+    parts.append(f"""
+SELECT d AS doc_id,
+       {", ".join(f"round(g{k} / ({gsum}), 6) AS t_{k}" for k in ks)}
+FROM {gm}
+""")
+    return "".join(parts)
+
+
 KM_K, KM_ITERS = 4, 2
 
 
@@ -1404,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentiword_scores": q_sentiword_scores,
         "pagerank_weights": q_pagerank_weights,
         "kmeans_clusters": q_kmeans_clusters,
+        "lda_topics": q_lda_topics,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "pricing_summary": q_pricing_summary,
@@ -2050,6 +2253,7 @@ QUALIFY rank <= 10
         "sentiword_scores": _senti_sql(),
         "pagerank_weights": _pagerank_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "lda_topics": _lda_sql(),
         "multimodal_features": _multimodal_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
         "pricing_summary": """
