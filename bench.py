@@ -47,6 +47,12 @@ ENTRY_BENCH_QUERIES = [
     "ann_lsh_topk_batch",
     "gaussian_fields_predict",
     "plsa_topics",
+    "lda_topics",
+    "aspect_keywords",
+    "sentiword_scores",
+    "pagerank_weights",
+    "kmeans_clusters",
+    "multimodal_features",
     # restored: min-anchor LSH emission bounds the candidate set at O(m)
     # per dup cluster, so the near-dup-heavy sf0.1 corpus is no longer
     # pathological (round-2 verdict item 2)

@@ -44,10 +44,18 @@ no per-row Python anywhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import _dot, _norm
+
+# GEMM-path gate: dst rows x dim elements the driver will broadcast
+# (2e8 doubles ~ 1.6 GB). Beyond this, candidate generation should be
+# the ANN path anyway (module docstring); the expression fallback keeps
+# the exact semantics available.
+_BROADCAST_ELEMS_CAP = 200_000_000
 
 
 def _cos6(a, b):
@@ -56,10 +64,13 @@ def _cos6(a, b):
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
-def _topk_edges(
+def _topk_edges_expr(
     src: DataFrame, dst: DataFrame, k: int, self_exclude: bool
 ) -> DataFrame:
-    """(uid, nid, y, s): per-src top-k dst by (sim6 desc, nid asc)."""
+    """Pure-expression form: broadcast nested-loop pairs + window rank.
+
+    Exact but O(|src|*|dst|) codegen array-cosines — the fallback when
+    the dst side exceeds the driver-broadcast cap."""
     pair = src.select(
         F.col("id").alias("uid"), F.col("vec").alias("uvec")
     ).crossJoin(
@@ -80,6 +91,100 @@ def _topk_edges(
     return sim.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     ).drop("rn")
+
+
+def _topk_edges(
+    src: DataFrame, dst: DataFrame, k: int, self_exclude: bool
+) -> DataFrame:
+    """(uid, nid, ny, s): per-src top-k dst by (sim6 desc, nid asc).
+
+    Brute-force exact top-k, done the way a 100 TB brute-force baseline
+    should be: the dst side is collected once, broadcast as a dense
+    float64 matrix, and each Arrow batch of src rows scores ALL dst in
+    one numpy GEMM — thousands of fused multiply-adds per cycle instead
+    of one codegen array-cosine per (src, dst) pair. Selection happens
+    kernel-side so only |src| x k edge rows ever leave the worker.
+    Semantics match `_topk_edges_expr` (double-cast dot, round-6dp
+    weights, nid-asc tie order); dst sides too large to broadcast fall
+    back to the expression form (at that scale use the ANN candidate
+    path instead — module docstring).
+    """
+    n_dst = dst.count()
+    if n_dst == 0:
+        return _topk_edges_expr(src, dst, k, self_exclude)
+    first_vec = dst.select("vec").head()[0]
+    dim = len(first_vec) if first_vec is not None else 0
+    if dim == 0 or n_dst * dim > _BROADCAST_ELEMS_CAP:
+        return _topk_edges_expr(src, dst, k, self_exclude)
+
+    dpdf = dst.select("id", "vec", "y").toPandas()
+    nid = dpdf["id"].to_numpy(np.int64)
+    order = np.argsort(nid, kind="stable")  # nid asc == tie order
+    nid = nid[order]
+    D = np.asarray([np.asarray(v, np.float64) for v in dpdf["vec"]], np.float64)[
+        order
+    ]
+    ny = dpdf["y"].to_numpy(np.float64)[order]  # NaN where null
+    dnorm = np.sqrt(np.einsum("ij,ij->i", D, D))
+    bc = src.sparkSession.sparkContext.broadcast((nid, D, ny, dnorm))
+    kk = int(min(k, n_dst))
+    sentinel = np.iinfo(np.int64).max
+
+    def gen(batches):
+        b_nid, b_D, b_ny, b_dn = bc.value
+        n = b_nid.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            uid = pdf["id"].to_numpy(np.int64)
+            Uv = np.asarray(
+                [np.asarray(v, np.float64) for v in pdf["vec"]], np.float64
+            )
+            un = np.sqrt(np.einsum("ij,ij->i", Uv, Uv))
+            sim = (Uv @ b_D.T) / (un[:, None] * b_dn[None, :])
+            # Spark round(x, 6) = HALF_UP away from zero; s6 holds the
+            # integer-valued scaled weight (|cos|<=1 -> |s6|<=1e6)
+            s6 = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5)
+            # composite sort key: (s desc, nid asc) with nid asc ==
+            # column index asc (b_nid sorted); all values fit int64
+            key = (1_000_000 - s6.astype(np.int64)) * np.int64(n) + np.arange(
+                n, dtype=np.int64
+            )
+            if self_exclude:
+                pos = np.searchsorted(b_nid, uid)
+                rows = np.nonzero(
+                    (pos < n) & (b_nid[np.minimum(pos, n - 1)] == uid)
+                )[0]
+                key[rows, np.minimum(pos[rows], n - 1)] = sentinel
+            if kk < n:
+                cand = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            else:
+                cand = np.broadcast_to(
+                    np.arange(n, dtype=np.int64), (key.shape[0], n)
+                ).copy()
+            ckey = np.take_along_axis(key, cand, axis=1)
+            csort = np.argsort(ckey, axis=1, kind="stable")
+            sel = np.take_along_axis(cand, csort, axis=1)
+            skey = np.take_along_axis(ckey, csort, axis=1)
+            valid = skey != sentinel
+            ridx = np.repeat(np.arange(sel.shape[0]), sel.shape[1]).reshape(
+                sel.shape
+            )[valid]
+            jsel = sel[valid]
+            ny_sel = b_ny[jsel]
+            out = pd.DataFrame(
+                {
+                    "uid": uid[ridx],
+                    "nid": b_nid[jsel],
+                    "ny": pd.Series(ny_sel).where(~np.isnan(ny_sel), None),
+                    "s": s6[ridx, jsel] / 1e6,
+                }
+            )
+            yield out
+
+    return src.select("id", "vec").mapInPandas(
+        gen, schema="uid long, nid long, ny double, s double"
+    )
 
 
 def gaussian_fields_random_walk(
