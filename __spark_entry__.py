@@ -1286,6 +1286,97 @@ FROM (
     return head + "".join(steps) + tail
 
 
+GFML_K, GFML_KP, GFML_ITERS = 3, 3, 2
+GFML_ALPHA, GFML_BETA, GFML_ETA = 1.0, 0.1, 0.1
+GFML_MAX_DOC = 60
+GFML_LABEL_MOD = 4
+
+
+def _synthetic_doc_meta(documents: DataFrame) -> DataFrame:
+    """Deterministic per-doc meta table (topic_vct / senti_score /
+    pos_vct / asp_vct) derived purely from doc_id — the plumbing gate
+    for ranking_features' doc_meta seam. The real producers (ops/plsa,
+    ops/lda, ops/senti, ops/textops.pos_projection, ops/aspect) carry
+    their own CORRECTNESS gates; this entry gates the dim FORMULAS
+    (symmetric KL, |Δsenti|, POS/aspect cosine) end-to-end with a
+    SQL-expressible input. Mirrors _meta_dim_sqls exactly."""
+    d = F.col("doc_id")
+    traw = [((d + F.lit(j)) % 5 + 1) for j in range(4)]
+    den = traw[0] + traw[1] + traw[2] + traw[3]
+    return documents.select(
+        "doc_id",
+        F.array(*[(t.cast("double") / den) for t in traw]).alias("topic_vct"),
+        (((d % 13) - 6) / F.lit(6.0)).alias("senti_score"),
+        F.array(
+            *[((d * 2 + j) % 4).cast("double") for j in range(4)]
+        ).alias("pos_vct"),
+        F.array(
+            *[((d + 2 * j) % 3).cast("double") for j in range(3)]
+        ).alias("asp_vct"),
+    )
+
+
+def q_ranking_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """genRankingFV with the topical/senti/POS/aspect dims live (fed
+    from the deterministic doc_meta table) instead of the
+    disabled-subsystem 0.0 defaults."""
+    from ir_base_spark.ops.l2r import ranking_features
+
+    docs = _docs(spark, sf_dir)
+    return ranking_features(
+        docs,
+        _labels(spark, sf_dir),
+        RANKFV_QUERY_DOCS,
+        max_doc_id=60,
+        doc_meta=_synthetic_doc_meta(docs),
+    )
+
+
+def q_l2r_metric_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned-metric pair similarity s = round6(exp(w · z(FV)))
+    of L2RMetricLearning.getSimilarity (L2RMetricLearning.java:87-99)
+    over the ranking_features candidate pairs, with the reference's own
+    LambdaRank@MAP weights."""
+    from ir_base_spark.ops.l2r import ranking_features
+    from ir_base_spark.ops.metric_learning import (
+        REFERENCE_WEIGHTS,
+        l2r_metric_scores,
+    )
+
+    feats = ranking_features(
+        _docs(spark, sf_dir),
+        _labels(spark, sf_dir),
+        RANKFV_QUERY_DOCS,
+        max_doc_id=60,
+    )
+    return l2r_metric_scores(feats, REFERENCE_WEIGHTS)
+
+
+def q_l2r_metric_gaussian_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full L2RMetricLearning pipeline: learned-metric similarity
+    -> per-side top-k edges -> Gaussian Fields random-walk prediction
+    for every unlabeled doc (doc_id % 4 != 0) among docs < 60."""
+    from ir_base_spark.ops.metric_learning import l2r_metric_gaussian_fields
+
+    labels = _labels(spark, sf_dir)
+    labeled = labels.filter(
+        (F.col("doc_id") % GFML_LABEL_MOD == 0)
+        & (F.col("doc_id") < GFML_MAX_DOC)
+    )
+    return l2r_metric_gaussian_fields(
+        _docs(spark, sf_dir),
+        labels,
+        labeled,
+        k=GFML_K,
+        k_prime=GFML_KP,
+        alpha=GFML_ALPHA,
+        beta=GFML_BETA,
+        eta=GFML_ETA,
+        iterations=GFML_ITERS,
+        max_doc_id=GFML_MAX_DOC,
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ir_base_spark.ops.relational import pricing_summary
 
@@ -1601,6 +1692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "gaussian_fields_predict": q_gaussian_fields_predict,
+        "ranking_features_meta": q_ranking_features_meta,
+        "l2r_metric_scores": q_l2r_metric_scores,
+        "l2r_metric_gaussian_fields": q_l2r_metric_gaussian_fields,
         "plsa_topics": q_plsa_topics,
         "aspect_keywords": q_aspect_keywords,
         "sentiword_scores": q_sentiword_scores,
@@ -1776,6 +1870,223 @@ FROM (VALUES
 """
 
 
+def _meta_topic_sql(idc: str) -> list[str]:
+    """The deterministic 4-dim doc-topic distribution used by the
+    doc_meta entries, as SQL exprs over an id column: raw_j =
+    (id + j) % 5 + 1, normalized to sum 1 (all-positive, so symmetric
+    KL is defined everywhere)."""
+    raws = [f"(({idc} + {j}) % 5 + 1)" for j in range(4)]
+    den = " + ".join(raws)
+    return [f"(CAST({r} AS DOUBLE) / ({den}))" for r in raws]
+
+
+def _meta_vct_sql(idc: str, mult: int, step: int, mod: int, dims: int) -> list[str]:
+    return [
+        f"CAST(({idc} * {mult} + {step * j}) % {mod} AS DOUBLE)"
+        for j in range(dims)
+    ]
+
+
+def _sql_r6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _sql_cos6(q: list[str], d: list[str]) -> str:
+    """Mirror of ops/l2r._vct_cos6(q, d): left-assoc dot and norms,
+    dot / |q| / |d| in that division order, either zero norm -> 0."""
+    dot = " + ".join(f"{a} * {b}" for a, b in zip(q, d))
+    na = "sqrt(" + " + ".join(f"{a} * {a}" for a in q) + ")"
+    nb = "sqrt(" + " + ".join(f"{b} * {b}" for b in d) + ")"
+    return (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+        f"ELSE {_sql_r6(f'({dot}) / {na} / {nb}')} END"
+    )
+
+
+def _meta_dim_sqls(qid: str, did: str) -> dict[str, str]:
+    """The four doc_meta feature dims (topical/senti/POS/aspect) as SQL
+    scalar exprs over the pair (query id col, doc id col) — the same
+    deterministic per-doc meta the Spark side builds in
+    _synthetic_doc_meta, folded to scalars since every value derives
+    from doc_id alone."""
+    tq, td = _meta_topic_sql(qid), _meta_topic_sql(did)
+    kl = " + ".join(
+        f"({q} - {d}) * ln({q} / {d})" for q, d in zip(tq, td)
+    )
+    senti_q = f"((({qid} % 13) - 6) / 6.0)"
+    senti_d = f"((({did} % 13) - 6) / 6.0)"
+    return {
+        "topical_sim": _sql_r6(f"({kl}) / 4"),
+        "senti_diff": _sql_r6(f"abs({senti_q} - {senti_d})"),
+        "pos_sim": _sql_cos6(
+            _meta_vct_sql(qid, 2, 1, 4, 4), _meta_vct_sql(did, 2, 1, 4, 4)
+        ),
+        "aspect_sim": _sql_cos6(
+            _meta_vct_sql(qid, 1, 2, 3, 3), _meta_vct_sql(did, 1, 2, 3, 3)
+        ),
+    }
+
+
+def _ranking_features_sql(stop: str, qdocs: str, meta: bool = False) -> str:
+    """genRankingFV oracle over documents < 60, parametrized by the
+    query-doc id list (the metric-learning entries re-render it with
+    the unlabeled id set). meta=True swaps the disabled-subsystem 0.0
+    dims for the deterministic doc_meta formulas (_meta_dim_sqls)."""
+    if meta:
+        dims = _meta_dim_sqls("i.query_doc", "i.doc_id")
+    else:
+        dims = {k: "0.0" for k in
+                ("topical_sim", "senti_diff", "pos_sim", "aspect_sim")}
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents WHERE doc_id < 60
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id < 60),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+stats AS (SELECT doc_id, sum(tf) AS dlen, sqrt(sum(tf * tf)) AS l2,
+                 count(*) AS nterms
+          FROM tf GROUP BY doc_id),
+aidf AS (SELECT doc_id, avg(ln((nn.n + 1.0) / dfx.df)) AS avg_idf
+         FROM tf JOIN dfx USING (term) CROSS JOIN nn GROUP BY doc_id),
+sprop AS (SELECT doc_id,
+                 round(avg(CASE WHEN term IN ({stop}) THEN 1.0 ELSE 0.0 END), 6)
+                     AS stopword_ratio
+          FROM tok2 GROUP BY doc_id),
+lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+qtf AS (SELECT doc_id AS query_doc, term, tf AS qtf FROM tf
+        WHERE doc_id IN ({qdocs})),
+qstats AS (SELECT doc_id AS query_doc, dlen AS q_dlen, l2 AS q_l2,
+                  nterms AS q_nterms
+           FROM stats WHERE doc_id IN ({qdocs})),
+qlab AS (SELECT doc_id AS query_doc, label AS q_label FROM lab
+         WHERE doc_id IN ({qdocs})),
+inter AS (
+  SELECT qtf.query_doc, tf.doc_id,
+         sum(tf.tf * qtf.qtf) AS dot, count(*) AS n_common
+  FROM tf JOIN qtf USING (term)
+  WHERE tf.doc_id <> qtf.query_doc
+  GROUP BY 1, 2
+)
+SELECT i.query_doc, i.doc_id,
+       floor(i.dot / (s.l2 * qs.q_l2) * 1000000.0 + 0.5) / 1000000.0 AS bow_cos,
+       {dims["topical_sim"]} AS topical_sim,
+       CAST(l.label = ql.q_label AS INT) AS same_label,
+       floor(abs(qs.q_dlen - s.dlen) / qs.q_dlen * 1000000.0 + 0.5)
+           / 1000000.0 AS len_diff,
+       floor(CAST(i.n_common AS DOUBLE)
+             / (s.nterms + qs.q_nterms - i.n_common) * 1000000.0 + 0.5)
+           / 1000000.0 AS jaccard,
+       {dims["senti_diff"]} AS senti_diff,
+       {dims["pos_sim"]} AS pos_sim,
+       {dims["aspect_sim"]} AS aspect_sim,
+       sp.stopword_ratio AS stopword_prop,
+       floor(a.avg_idf * 1000000.0 + 0.5) / 1000000.0 AS avg_idf
+FROM inter i
+JOIN stats s ON s.doc_id = i.doc_id
+JOIN qstats qs ON qs.query_doc = i.query_doc
+JOIN aidf a ON a.doc_id = i.doc_id
+JOIN sprop sp ON sp.doc_id = i.doc_id
+JOIN lab l ON l.doc_id = i.doc_id
+JOIN qlab ql ON ql.query_doc = i.query_doc
+"""
+
+
+def _l2r_metric_dot_sql() -> str:
+    """w · round6(zscore(f)) as a SQL expr over an rf row joined with
+    the mom moments row — the same std>0 guard, variance clamp, and
+    6-dp z pin as the Spark op (ops/metric_learning.l2r_metric_scores)."""
+    from ir_base_spark.ops.metric_learning import FV_COLS, REFERENCE_WEIGHTS
+
+    terms = []
+    for w, c in zip(REFERENCE_WEIGHTS, FV_COLS):
+        std = f"sqrt(greatest(s_{c} - m_{c} * m_{c}, 0.0))"
+        z = (
+            f"CASE WHEN {std} > 0 "
+            f"THEN round(({c} - m_{c}) / {std}, 6) ELSE 0.0 END"
+        )
+        terms.append(f"({w!r} * {z})")
+    return " + ".join(terms)
+
+
+def _l2r_metric_scores_sql(rf_sql: str, moments: str) -> str:
+    return f"""
+WITH rf AS ({rf_sql}),
+mom AS (SELECT {moments} FROM rf)
+SELECT rf.query_doc AS uid, rf.doc_id AS nid,
+       {_sql_r6(f'exp({_l2r_metric_dot_sql()})')} AS s
+FROM rf CROSS JOIN mom
+"""
+
+
+def _l2r_metric_gf_sql(rf_sql: str, moments: str) -> str:
+    """Full L2RMetricLearning -> GaussianFields oracle: score every
+    candidate pair with the learned metric, split L/U, per-side top-k,
+    then the iteration-unrolled Jacobi propagation (the same CTE
+    pattern as _gaussian_fields_sql)."""
+    head = f"""
+WITH rf AS ({rf_sql}),
+mom AS (SELECT {moments} FROM rf),
+sc AS MATERIALIZED (
+  SELECT rf.query_doc AS uid, rf.doc_id AS nid,
+         {_sql_r6(f'exp({_l2r_metric_dot_sql()})')} AS s
+  FROM rf CROSS JOIN mom
+),
+lab AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(label AS DOUBLE) AS y FROM embeddings
+  WHERE vec_id < 60 AND vec_id % 4 = 0
+),
+nc AS (SELECT CAST(max(y) AS INT) + 1 AS n FROM lab),
+ul AS (
+  SELECT uid, nid, ny, s FROM (
+    SELECT sc.uid, sc.nid, lab.y AS ny, sc.s,
+           row_number() OVER (
+             PARTITION BY sc.uid ORDER BY sc.s DESC, sc.nid ASC
+           ) AS rn
+    FROM sc JOIN lab ON sc.nid = lab.id
+  ) WHERE rn <= {GFML_K}
+),
+aggl AS MATERIALIZED (
+  SELECT uid, sum(s * ny) AS SL, sum(s) AS WL,
+         sum(s * ny) / sum(s) AS cpred
+  FROM ul GROUP BY uid
+),
+uu AS MATERIALIZED (
+  SELECT uid, nid, w FROM (
+    SELECT sc.uid, sc.nid, sc.s AS w,
+           row_number() OVER (
+             PARTITION BY sc.uid ORDER BY sc.s DESC, sc.nid ASC
+           ) AS rn
+    FROM sc WHERE sc.nid NOT IN (SELECT id FROM lab)
+  ) WHERE rn <= {GFML_KP}
+),
+p0 AS MATERIALIZED (SELECT uid, cpred AS pred FROM aggl)"""
+    steps = []
+    for t in range(1, GFML_ITERS + 1):
+        steps.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT aggl.uid,
+         {GFML_ETA} * ({GFML_ALPHA} * aggl.SL
+                     + {GFML_BETA} * coalesce(s.su, 0.0))
+             / ({GFML_ALPHA} * aggl.WL + {GFML_BETA} * coalesce(s.wu, 0.0))
+         + {1.0 - GFML_ETA} * aggl.cpred AS pred
+  FROM aggl LEFT JOIN (
+    SELECT uu.uid, sum(uu.w * p{t - 1}.pred) AS su, sum(uu.w) AS wu
+    FROM uu JOIN p{t - 1} ON uu.nid = p{t - 1}.uid GROUP BY uu.uid
+  ) s ON aggl.uid = s.uid
+)""")
+    tail = f"""
+SELECT vec_id, pred6,
+       CAST(least(greatest(CAST(ceil(pred6 - 0.5) AS INT), 0), nc.n - 1)
+            AS INT) AS pred_label
+FROM (
+  SELECT uid AS vec_id, round(pred, 6) AS pred6 FROM p{GFML_ITERS}
+) CROSS JOIN nc
+"""
+    return head + "".join(steps) + tail
+
+
 def oracle_sql() -> dict[str, str]:
     stop = _stopword_in_list()
     text_stats_cte = _TEXT_STATS_SQL.replace("{STOP}", stop)
@@ -1947,60 +2258,7 @@ SELECT query_id,
        CASE WHEN la > lb THEN doc_b ELSE doc_a END AS worse_doc
 FROM p
 """,
-        "ranking_features": f"""
-WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
-  FROM documents WHERE doc_id < 60
-), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
-tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok2 GROUP BY 1, 2),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id < 60),
-dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-stats AS (SELECT doc_id, sum(tf) AS dlen, sqrt(sum(tf * tf)) AS l2,
-                 count(*) AS nterms
-          FROM tf GROUP BY doc_id),
-aidf AS (SELECT doc_id, avg(ln((nn.n + 1.0) / dfx.df)) AS avg_idf
-         FROM tf JOIN dfx USING (term) CROSS JOIN nn GROUP BY doc_id),
-sprop AS (SELECT doc_id,
-                 round(avg(CASE WHEN term IN ({{STOP}}) THEN 1.0 ELSE 0.0 END), 6)
-                     AS stopword_ratio
-          FROM tok2 GROUP BY doc_id),
-lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
-qtf AS (SELECT doc_id AS query_doc, term, tf AS qtf FROM tf
-        WHERE doc_id IN ({{QDOCS}})),
-qstats AS (SELECT doc_id AS query_doc, dlen AS q_dlen, l2 AS q_l2,
-                  nterms AS q_nterms
-           FROM stats WHERE doc_id IN ({{QDOCS}})),
-qlab AS (SELECT doc_id AS query_doc, label AS q_label FROM lab
-         WHERE doc_id IN ({{QDOCS}})),
-inter AS (
-  SELECT qtf.query_doc, tf.doc_id,
-         sum(tf.tf * qtf.qtf) AS dot, count(*) AS n_common
-  FROM tf JOIN qtf USING (term)
-  WHERE tf.doc_id <> qtf.query_doc
-  GROUP BY 1, 2
-)
-SELECT i.query_doc, i.doc_id,
-       floor(i.dot / (s.l2 * qs.q_l2) * 1000000.0 + 0.5) / 1000000.0 AS bow_cos,
-       0.0 AS topical_sim,
-       CAST(l.label = ql.q_label AS INT) AS same_label,
-       floor(abs(qs.q_dlen - s.dlen) / qs.q_dlen * 1000000.0 + 0.5)
-           / 1000000.0 AS len_diff,
-       floor(CAST(i.n_common AS DOUBLE)
-             / (s.nterms + qs.q_nterms - i.n_common) * 1000000.0 + 0.5)
-           / 1000000.0 AS jaccard,
-       0.0 AS senti_diff,
-       0.0 AS pos_sim,
-       0.0 AS aspect_sim,
-       sp.stopword_ratio AS stopword_prop,
-       floor(a.avg_idf * 1000000.0 + 0.5) / 1000000.0 AS avg_idf
-FROM inter i
-JOIN stats s ON s.doc_id = i.doc_id
-JOIN qstats qs ON qs.query_doc = i.query_doc
-JOIN aidf a ON a.doc_id = i.doc_id
-JOIN sprop sp ON sp.doc_id = i.doc_id
-JOIN lab l ON l.doc_id = i.doc_id
-JOIN qlab ql ON ql.query_doc = i.query_doc
-""".replace("{STOP}", stop).replace("{QDOCS}", qdocs),
+        "ranking_features": _ranking_features_sql(stop, qdocs),
         "confusion_matrix": """
 SELECT CAST(length(text) % 4 AS INT) AS pred_label,
        CAST(label AS INT) AS true_label,
@@ -2430,6 +2688,16 @@ SELECT rf.query_doc, rf.doc_id,
        {zsel}
 FROM rf CROSS JOIN mom
 """
+    orc["ranking_features_meta"] = _ranking_features_sql(stop, qdocs, meta=True)
+    orc["l2r_metric_scores"] = _l2r_metric_scores_sql(
+        orc["ranking_features"], moments
+    )
+    gfml_udocs = ", ".join(
+        str(i) for i in range(GFML_MAX_DOC) if i % GFML_LABEL_MOD != 0
+    )
+    orc["l2r_metric_gaussian_fields"] = _l2r_metric_gf_sql(
+        _ranking_features_sql(stop, gfml_udocs), moments
+    )
     orc["ranknet_weights"] = _ranknet_sql(orc["ranking_features_z"])
     orc["lambdarank_weights"] = _lambdarank_sql(orc["ranking_features_z"])
     orc["ranksvm_weights"] = _ranksvm_sql(orc["ranking_features_z"])

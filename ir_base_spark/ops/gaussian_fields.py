@@ -199,6 +199,8 @@ def gaussian_fields_random_walk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    ul_edges: DataFrame | None = None,
+    uu_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Label propagation over (id, vector, label-or-null) rows.
 
@@ -207,23 +209,37 @@ def gaussian_fields_random_walk(
     where labeled _Node.m_pred is constructed equal to y and never
     rewritten); null-labeled rows are U and get predictions.
 
+    ``ul_edges`` / ``uu_edges`` are the getSimilarity override seam
+    (GaussianFields.java:160-163 overridden by
+    L2RMetricLearning.java:87-99): pass precomputed candidate edges
+    (uid, nid, ny, s) — scored by ANY similarity, e.g. the learned
+    L2R metric (ops/metric_learning.py) or an ANN candidate pass —
+    and the propagation runs over them unchanged; both default to the
+    built-in top-k cosine graph. When both are supplied ``vec_col``
+    is not read (the vectors frame only provides ids + labels).
+
     Returns (vec_id, pred6, pred_label): the relaxed real-valued
     prediction rounded to 6 dp and its nearest-class decode
     (argmin_c |c - pred|, ties to the smaller class —
     GaussianFields.getLabel, GaussianFields.java:447-458).
     """
-    V = vectors.select(
+    edges_injected = ul_edges is not None and uu_edges is not None
+    sel = [
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         F.col(label_col).cast("double").alias("y"),
-    )
+    ]
+    if not edges_injected:
+        sel.insert(1, F.col(vec_col).alias("vec"))
+    V = vectors.select(*sel)
     L = V.filter(F.col("y").isNotNull())
     U = V.filter(F.col("y").isNull())
     n_classes = L.agg(F.max("y")).collect()[0][0]
     n_classes = int(n_classes) + 1 if n_classes is not None else 2
 
     wexpr = F.col("s") if sim_weighted else F.lit(1.0)
-    ul = _topk_edges(U, L, k, self_exclude=False)
+    ul = ul_edges if ul_edges is not None else _topk_edges(
+        U, L, k, self_exclude=False
+    )
     agg_l = (
         ul.groupBy("uid")
         .agg(
@@ -233,9 +249,10 @@ def gaussian_fields_random_walk(
         .withColumn("cpred", F.col("SL") / F.col("WL"))
         .cache()
     )
-    uu = _topk_edges(U, U, k_prime, self_exclude=True).select(
-        "uid", "nid", wexpr.alias("w")
-    ).cache()
+    uu = (
+        uu_edges if uu_edges is not None
+        else _topk_edges(U, U, k_prime, self_exclude=True)
+    ).select("uid", "nid", wexpr.alias("w")).cache()
 
     # pred^0 = the prior (reference: random walk starts from the
     # multiple learner's prediction)

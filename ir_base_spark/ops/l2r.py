@@ -65,24 +65,74 @@ def ranking_pairs(
     )
 
 
+def _r6(c):
+    return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+
+
+def _vct_cos6(a, b):
+    """Utils.cosine(double[], double[]) (Utils.java): dot/|a|/|b| with
+    either zero norm -> 0, rounded to 6 dp (division order preserved)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
+        _r6(dot / na / nb)
+    )
+
+
+def _klsym6(p, q):
+    """getTopicalSim (GaussianFields.java:145-150): symmetric KL
+    Utils.KLsymmetric — sum over dims where BOTH are nonzero of
+    (p_i - q_i) * ln(p_i / q_i) — divided by the topic count, 6 dp."""
+    s = F.aggregate(
+        F.zip_with(
+            p,
+            q,
+            lambda x, y: F.when(
+                (x != F.lit(0.0)) & (y != F.lit(0.0)), (x - y) * F.log(x / y)
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return _r6(s / F.size(p))
+
+
 def ranking_features(
     documents: DataFrame,
     labels: DataFrame,
     query_doc_ids: list[int],
     max_doc_id: int | None = None,
+    doc_meta: DataFrame | None = None,
 ) -> DataFrame:
     """(query_doc, doc_id, f0..f9): genRankingFV over the documents table.
 
-    f0 BoW cosine (TF vectors), f1 topical sim (out of scope -> 0),
+    f0 BoW cosine (TF vectors), f1 topical sim,
     f2 same label (sameProduct analog), f3 |len_q-len_d|/len_q,
     f4 jaccard over term SETS (Utils.jaccard on sparse indices),
-    f5 senti diff -> 0, f6 POS sim -> 0, f7 aspect sim -> 0,
-    f8 stopword proportion of d, f9 avgIDF of d
+    f5 |senti_q - senti_d|, f6 POS-vector cosine, f7 aspect-vector
+    cosine, f8 stopword proportion of d, f9 avgIDF of d
     (Analyzer.java:211-212 ln((N+1)/DF) averaged over d's terms).
+
+    Dims 1/5/6/7 come from ``doc_meta``, an optional per-doc table
+    (doc_id plus any of: topic_vct array<double> — a pLSA/LDA doc-topic
+    distribution (ops/plsa.py / ops/lda.py), senti_score double
+    (ops/senti.py), pos_vct array<double> (ops/textops.pos_projection
+    counts), asp_vct array<double> (ops/aspect.py assignment counts)).
+    Each dim falls back to 0.0 when its column (or the doc's meta row)
+    is absent — exactly the reference's behavior with the subsystem
+    disabled (genRankingFV, L2RMetricLearning.java:347-383; null
+    m_topics -> 0, GaussianFields.java:146).
 
     Plan shape: queries are a handful of docs -> their TF vectors
     broadcast; candidate side aggregates once per (query, doc). All
-    column algebra, one shuffle keyed (query_doc, doc_id).
+    column algebra, one shuffle keyed (query_doc, doc_id); doc_meta
+    adds one broadcast (query side) and one keyed join (candidate
+    side), no Python.
     """
     docs = documents
     if max_doc_id is not None:
@@ -139,12 +189,44 @@ def ranking_features(
         .join(stop_prop, "doc_id")
         .join(labels, "doc_id")
     )
-    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+
+    meta_cols = set(doc_meta.columns) - {"doc_id"} if doc_meta is not None else set()
+    topical = senti = pos = aspect = F.lit(0.0)
+    if meta_cols:
+        dmeta = doc_meta.select(
+            "doc_id", *[F.col(c).alias(f"d_{c}") for c in sorted(meta_cols)]
+        )
+        qmeta = doc_meta.filter(F.col("doc_id").isin(query_doc_ids)).select(
+            F.col("doc_id").alias("query_doc"),
+            *[F.col(c).alias(f"q_{c}") for c in sorted(meta_cols)],
+        )
+        out = out.join(dmeta, "doc_id", "left").join(
+            F.broadcast(qmeta), "query_doc", "left"
+        )
+        if "topic_vct" in meta_cols:
+            topical = F.coalesce(
+                _klsym6(F.col("q_topic_vct"), F.col("d_topic_vct")), F.lit(0.0)
+            )
+        if "senti_score" in meta_cols:
+            senti = F.coalesce(
+                _r6(F.abs(F.col("q_senti_score") - F.col("d_senti_score"))),
+                F.lit(0.0),
+            )
+        if "pos_vct" in meta_cols:
+            pos = F.coalesce(
+                _vct_cos6(F.col("q_pos_vct"), F.col("d_pos_vct")), F.lit(0.0)
+            )
+        if "asp_vct" in meta_cols:
+            aspect = F.coalesce(
+                _vct_cos6(F.col("q_asp_vct"), F.col("d_asp_vct")), F.lit(0.0)
+            )
+
+    r6 = _r6
     return out.select(
         "query_doc",
         "doc_id",
         r6(F.col("dot") / (F.col("l2") * F.col("q_l2"))).alias("bow_cos"),
-        F.lit(0.0).alias("topical_sim"),
+        topical.alias("topical_sim"),
         (F.col("label") == F.col("q_label")).cast("int").alias("same_label"),
         r6(
             F.abs(F.col("q_dlen") - F.col("dlen")) / F.col("q_dlen")
@@ -153,9 +235,9 @@ def ranking_features(
             F.col("n_common")
             / (F.col("nterms") + F.col("q_nterms") - F.col("n_common"))
         ).alias("jaccard"),
-        F.lit(0.0).alias("senti_diff"),
-        F.lit(0.0).alias("pos_sim"),
-        F.lit(0.0).alias("aspect_sim"),
+        senti.alias("senti_diff"),
+        pos.alias("pos_sim"),
+        aspect.alias("aspect_sim"),
         F.col("stopword_ratio").alias("stopword_prop"),
         r6(F.col("avg_idf")).alias("avg_idf"),
     )
