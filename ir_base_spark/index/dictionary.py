@@ -236,6 +236,81 @@ def conv_doc_base_with_stats(
     return cum.select("conv_id", "base"), n_docs, avg
 
 
+def conv_doc_base_with_stats_ranged(
+    doc_lens: DataFrame,
+) -> tuple:
+    """conv_doc_base_with_stats for doc_lens that carry the build's
+    ``partition_id`` column (the conv_partition_map contract: each
+    partition owns a CONTIGUOUS conv_id range, ranges ascending in
+    partition_id).
+
+    The data-defined ranges replace repartitionByRange entirely, which
+    removes BOTH non-scaling terms of the generic cumsum: the boundary
+    -sampling pass and the eager localCheckpoint. No checkpoint is
+    needed because partition_id is a DATA column — any recomputation
+    (lost cache block, task retry) reproduces the identical grouping,
+    so the overlapping-id hazard of sampled boundaries cannot occur.
+
+    Job shape: one collect (materializes the conv-level aggregate and
+    yields per-partition totals = cumsum offsets + corpus stats) and
+    whatever single job the caller runs to consume the returned frame
+    (the base/ write). The within-partition cumsum is a window over
+    partition_id — one group per build partition, conv-level rows, so
+    at 10^12 turns with 10^5 build partitions each group holds ~10^4
+    conversations: no skew, no single-partition window.
+
+    Returns (base DataFrame(conv_id, base), n_docs, avg_doc_len,
+    release) — ``release()`` unpersists the backing conv-level cache
+    once the caller has consumed ``base`` (e.g. after the base/ write);
+    values are identical to conv_doc_base_with_stats (same math,
+    associativity-safe integer sums).
+    """
+    ext = doc_lens.groupBy("partition_id", "conv_id").agg(
+        (F.max("turn_idx") + 1).cast("long").alias("_n"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("doc_len").cast("long").alias("_sum"),
+    ).cache()
+    sums = (
+        ext.groupBy("partition_id")
+        .agg(
+            F.sum("_n").alias("s"),
+            F.sum("_cnt").alias("c"),
+            F.sum("_sum").alias("l"),
+        )
+        .collect()
+    )
+    sums.sort(key=lambda r: r["partition_id"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    n_docs = 0
+    len_sum = 0
+    for r in sums:
+        offsets[r["partition_id"]] = acc
+        acc += int(r["s"])
+        n_docs += int(r["c"])
+        len_sum += int(r["l"])
+    avg = (float(len_sum) / n_docs) if n_docs else 0.0
+    w = (
+        Window.partitionBy("partition_id")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if offsets:
+        offs = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("partition_id")]
+    else:
+        offs = F.lit(0)
+    base = (
+        ext.withColumn("_cum", F.sum("_n").over(w))
+        .withColumn(
+            "base", (F.col("_cum") - F.col("_n") + offs).cast("long")
+        )
+        .select("conv_id", "base")
+    )
+    return base, n_docs, avg, ext.unpersist
+
+
 def assign_doc_ids(
     doc_lens: DataFrame,
     num_partitions: int = 32,
@@ -255,17 +330,50 @@ def assign_doc_ids(
     )
 
 
+def term_stats_from_partials(partials: DataFrame) -> DataFrame:
+    """(term, df, ttf) from build-time per-partition partial aggregates
+    (manifest.load_term_partials). Exact: df/ttf are sums of disjoint
+    per-partition counts — the final-agg half of the partial+final
+    pattern, with the partial half already paid during the build wave
+    while the postings were page-hot."""
+    return partials.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("ttf").cast("long").alias("ttf"),
+    )
+
+
 def build_dictionary(
     raw_postings: DataFrame,
     min_df: int = 1,
     max_df: int | None = None,
     num_partitions: int = 32,
+    stats: DataFrame | None = None,
+    small_rank: bool = False,
 ) -> DataFrame:
-    """terms(term, term_id, df, ttf), pruned then deterministically ranked."""
-    stats = term_stats(raw_postings)
+    """terms(term, term_id, df, ttf), pruned then deterministically
+    ranked. ``stats``: precomputed (term, df, ttf) — e.g.
+    term_stats_from_partials — replacing the full-postings aggregation
+    (values must be identical; the id ranking depends on exact df).
+
+    ``small_rank``: rank with a single-partition window instead of the
+    two-phase range-partitioned machinery. Identical ids, ONE Spark job
+    instead of four (sampling, checkpoint, sizes collect, write) —
+    each job pays a fixed scheduling latency, and for a vocabulary
+    that fits one task (callers gate on a driver-side row-count bound)
+    the latency dominates the sort. Large vocabularies (10^8 terms)
+    must keep the distributed path."""
+    if stats is None:
+        stats = term_stats(raw_postings)
     pruned = stats.filter(F.col("df") >= F.lit(min_df))
     if max_df is not None:
         pruned = pruned.filter(F.col("df") <= F.lit(max_df))
+    if small_rank:
+        w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+        return (
+            pruned.repartition(1)
+            .withColumn("term_id", (F.row_number().over(w) - 1).cast("long"))
+            .select("term", "term_id", "df", "ttf")
+        )
     return assign_term_ids(pruned, num_partitions=num_partitions).select(
         "term", "term_id", "df", "ttf"
     )

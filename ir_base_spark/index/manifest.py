@@ -244,10 +244,47 @@ def _split_input(
     if os.path.isdir(parts_dir):
         shutil.rmtree(parts_dir)
     os.replace(tmp, parts_dir)
+    # per-partition conv ranges, computed ONCE at split time from the
+    # conv-level map (tiny agg): cmin/cmax are a property of the split,
+    # not of the tokenize pass, so the build waves don't have to
+    # observe conv_id at all (the old per-wave CollectMetrics over
+    # every posting row was a measured ~45% write-job overhead)
+    ranges = {
+        int(r["partition_id"]): [r["cmin"], r["cmax"]]
+        for r in cmap.groupBy("partition_id")
+        .agg(F.min("conv_id").alias("cmin"), F.max("conv_id").alias("cmax"))
+        .collect()
+    }
     _atomic_write_json(
-        marker, {"snapshot_id": snap, "num_partitions": num_partitions}
+        marker,
+        {
+            "snapshot_id": snap,
+            "num_partitions": num_partitions,
+            "conv_ranges": ranges,
+        },
     )
     return snap
+
+
+def _conv_ranges(spark: SparkSession, index_root: str) -> dict:
+    """{partition_id: [conv_min, conv_max]} from the split marker;
+    recomputed from conv_parts/ for roots split before the marker
+    carried ranges (and re-persisted so the agg runs at most once)."""
+    marker = os.path.join(index_root, "input_parts.done.json")
+    with open(marker) as fh:
+        meta = json.load(fh)
+    if "conv_ranges" in meta:
+        return {int(k): v for k, v in meta["conv_ranges"].items()}
+    cmap = spark.read.parquet(os.path.join(index_root, "conv_parts"))
+    ranges = {
+        int(r["partition_id"]): [r["cmin"], r["cmax"]]
+        for r in cmap.groupBy("partition_id")
+        .agg(F.min("conv_id").alias("cmin"), F.max("conv_id").alias("cmax"))
+        .collect()
+    }
+    meta["conv_ranges"] = ranges
+    _atomic_write_json(marker, meta)
+    return ranges
 
 
 def _empty_partition_manifest(snap: str, pid: int) -> PartitionManifest:
@@ -310,49 +347,81 @@ def _build_wave(
     tmp_dir = os.path.join(post_root, "._tmp_wave")
     if os.path.isdir(tmp_dir):
         shutil.rmtree(tmp_dir)
-    # per-partition manifest metrics ride the WRITE job via the
-    # Observation API (CollectMetrics) as conditional aggregates — the
-    # old separate groupBy job re-read the whole wave's output, a full
-    # second pass per wave. cmin/cmax (the lineage-relevant fields) are
-    # min/max and therefore retry-idempotent; the count metrics are
-    # operational reporting and could over-count under task retries
-    # (irrelevant in local mode, acceptable for metrics at cluster
-    # scale).
-    from pyspark.sql import Observation
-
-    aggs = []
-    for pid in existing:
-        c = F.col("partition_id") == pid
-        aggs += [
-            F.count(F.when(c, 1)).alias(f"n_{pid}"),
-            F.min(F.when(c, F.col("conv_id"))).alias(f"cmin_{pid}"),
-            F.max(F.when(c, F.col("conv_id"))).alias(f"cmax_{pid}"),
-            F.sum(F.when(c, F.col("is_doc_head"))).alias(f"turns_{pid}"),
-            F.sum(F.when(c, F.col("tf"))).alias(f"terms_{pid}"),
-        ]
-    obs = Observation(f"wave_p{wave[0]}")
-    postings = postings.observe(obs, aggs[0], *aggs[1:])
     _dbg = os.environ.get("SPARK_GRAFT_PHASE_DEBUG")
     _tw = time.time()
+    # the write job is PURE tokenize+write: conv ranges were computed
+    # once at split time (the split owns partition boundaries), and the
+    # count metrics ride the term-partials pass below — the old
+    # CollectMetrics observation evaluated #wave x 5 conditional
+    # aggregates per posting row inside the write job, a measured ~45%
+    # overhead of the build wave at 16 cores
     postings.write.partitionBy("partition_id").mode("overwrite").parquet(tmp_dir)
     if _dbg:
         print(f"    wave write: {time.time()-_tw:.2f}s", flush=True)
         _tw = time.time()
 
-    orow = obs.get
+    # per-partition PARTIAL term stats, aggregated while the wave's
+    # postings are page-hot: finalize's dictionary agg then reads
+    # ~|local vocab| x #partitions rows instead of every posting row —
+    # the full-postings term scan was the measured critical path of
+    # finalize at high core counts. Written wave-atomically and
+    # promoted per-partition alongside postings/ (below); finalize
+    # falls back to the raw postings agg whenever the partials set
+    # does not exactly match the postings set (old roots, partial
+    # promotes), so the artifact is an optimization, never a
+    # correctness dependency. dh (doc-head count) rides along so the
+    # manifest turn counts come from the same pass.
+    partials_root = os.path.join(index_root, "term_partials")
+    os.makedirs(partials_root, exist_ok=True)
+    ptmp = os.path.join(partials_root, "._tmp_wave")
+    if os.path.isdir(ptmp):
+        shutil.rmtree(ptmp)
+    (
+        spark.read.parquet(tmp_dir)
+        .groupBy("partition_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("ttf"),
+            F.sum("is_doc_head").cast("long").alias("dh"),
+        )
+        # one file per partition dir: without this, every shuffle
+        # partition writes a sliver into every hive dir (#shuffle x
+        # #partitions tiny files) and the finalize-side read pays the
+        # listing + per-task floor that this artifact exists to remove
+        .repartition(len(existing), F.col("partition_id"))
+        .write.partitionBy("partition_id")
+        .mode("overwrite")
+        .parquet(ptmp)
+    )
     if _dbg:
-        print(f"    wave obs.get: {time.time()-_tw:.2f}s", flush=True)
+        print(f"    wave term partials: {time.time()-_tw:.2f}s", flush=True)
         _tw = time.time()
+    # manifest count metrics: a tiny rollup of the partials output
+    # (conv-level ranges come from the split marker). postings = Σdf,
+    # terms = Σttf, turns = Σdh — exact, same source of truth as the
+    # dictionary itself.
+    rollup = {
+        int(r["partition_id"]): r
+        for r in spark.read.parquet(ptmp)
+        .groupBy("partition_id")
+        .agg(
+            F.sum("df").alias("postings"),
+            F.sum("ttf").alias("terms"),
+            F.sum("dh").alias("turns"),
+        )
+        .collect()
+    }
+    ranges = _conv_ranges(spark, index_root)
     stats = {
         pid: {
-            "postings": orow[f"n_{pid}"],
-            "cmin": orow[f"cmin_{pid}"],
-            "cmax": orow[f"cmax_{pid}"],
-            "turns": orow[f"turns_{pid}"],
-            "terms": orow[f"terms_{pid}"],
+            "postings": rollup[pid]["postings"],
+            "cmin": ranges.get(pid, ["", ""])[0],
+            "cmax": ranges.get(pid, ["", ""])[1],
+            "turns": rollup[pid]["turns"],
+            "terms": rollup[pid]["terms"],
         }
         for pid in existing
-        if orow[f"n_{pid}"]
+        if pid in rollup and rollup[pid]["postings"]
     }
     wall = time.time() - t0
     for pid in existing:
@@ -368,6 +437,12 @@ def _build_wave(
         if os.path.isdir(dst):
             shutil.rmtree(dst)
         os.replace(src, dst)
+        psrc = os.path.join(ptmp, f"partition_id={pid}")
+        pdst = os.path.join(partials_root, f"partition_id={pid}")
+        if os.path.isdir(pdst):
+            shutil.rmtree(pdst)
+        if os.path.isdir(psrc):
+            os.replace(psrc, pdst)
         agg = stats[pid]
         nbytes = _dir_bytes(dst)
         share = wall / max(1, len(existing))
@@ -391,6 +466,7 @@ def _build_wave(
     if _dbg:
         print(f"    wave promote: {time.time()-_tw:.2f}s", flush=True)
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(ptmp, ignore_errors=True)
     return out
 
 
@@ -462,6 +538,46 @@ def load_postings(spark: SparkSession, index_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_root, "postings"))
 
 
+def load_term_partials(
+    spark: SparkSession, index_root: str
+) -> DataFrame | None:
+    """Build-time per-partition (term, df, ttf) partials, or None when
+    they don't exactly cover the postings set (old roots, interrupted
+    promotes) — callers must then aggregate from raw postings. Exact
+    coverage check: the hive partition dirs under term_partials/ must
+    equal those under postings/ (both are promoted per-partition by
+    the same wave loop, postings first)."""
+    proot = os.path.join(index_root, "term_partials")
+    post = os.path.join(index_root, "postings")
+    if not (os.path.isdir(proot) and os.path.isdir(post)):
+        return None
+    pp = {d for d in os.listdir(proot) if d.startswith("partition_id=")}
+    qq = {d for d in os.listdir(post) if d.startswith("partition_id=")}
+    if not pp or pp != qq:
+        return None
+    return spark.read.parquet(proot)
+
+
+def term_partials_row_count(index_root: str) -> int:
+    """Total term-partial rows (an upper bound on |vocabulary|), read
+    from parquet FOOTER metadata driver-side — no Spark job. Lets
+    finalize choose the single-job dictionary rank when the vocabulary
+    is small without paying a count() barrier to find out."""
+    import pyarrow.parquet as pq
+
+    proot = os.path.join(index_root, "term_partials")
+    n = 0
+    for d in os.listdir(proot):
+        if not d.startswith("partition_id="):
+            continue
+        for f in os.listdir(os.path.join(proot, d)):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(
+                    os.path.join(proot, d, f)
+                ).metadata.num_rows
+    return n
+
+
 def finalize_lite(
     spark: SparkSession,
     index_root: str,
@@ -518,7 +634,8 @@ def _finalize_artifacts(
         assign_doc_ids,
         build_dictionary,
         conv_doc_base,
-        conv_doc_base_with_stats,
+        conv_doc_base_with_stats_ranged,
+        term_stats_from_partials,
     )
     from .weights import set_feature_values
 
@@ -548,9 +665,14 @@ def _finalize_artifacts(
 
     # raw postings deliberately NOT cached — page-cached parquet
     # re-reads are cheaper than JVM cache materialization (measured)
-    raw = load_postings(spark, index_root).drop("partition_id")
-    doc_lens = raw.filter(F.col("is_doc_head") == 1).select(
-        "conv_id", "turn_idx", "doc_len"
+    raw_p = load_postings(spark, index_root)
+    raw = raw_p.drop("partition_id")
+    # doc_lens KEEPS partition_id: the build's conv-range partitioning
+    # (conv_partition_map: contiguous conv ranges ascending in
+    # partition_id) lets the base cumsum run shuffle-sample-free and
+    # checkpoint-free (conv_doc_base_with_stats_ranged)
+    doc_lens = raw_p.filter(F.col("is_doc_head") == 1).select(
+        "partition_id", "conv_id", "turn_idx", "doc_len"
     )
     if write_docs:
         # two consumers (conv aggregate + the docs export join) — pin it;
@@ -560,15 +682,38 @@ def _finalize_artifacts(
         doc_lens = doc_lens.cache()
     box: dict = {}
 
+    # build-time per-partition term partials (when complete) replace
+    # the full-postings dictionary aggregation — the measured critical
+    # path of finalize at high core counts; identical (term, df, ttf)
+    # values by the partial+final aggregation identity
+    partials = load_term_partials(spark, index_root)
+    pre_stats = (
+        term_stats_from_partials(partials) if partials is not None else None
+    )
+    # single-job rank whenever the vocabulary provably fits one task
+    # (footer row count is an upper bound on |vocab|, read without a
+    # Spark job). On this harness every Spark job pays a fixed
+    # ~0.3-0.5s scheduling latency, so the 4-job distributed rank only
+    # earns its barriers for vocabularies that genuinely need it.
+    small = (
+        pre_stats is not None
+        and term_partials_row_count(index_root) <= 8_000_000
+    )
+
     def terms_chain():
         # the write IS the materializing action (and populates the
         # cache); a count() first would be one more barrier + pass
-        t = build_dictionary(raw, min_df=min_df, max_df=max_df).cache()
+        t = build_dictionary(
+            raw, min_df=min_df, max_df=max_df, stats=pre_stats,
+            small_rank=small,
+        ).cache()
         t.write.mode("overwrite").parquet(os.path.join(index_root, "terms"))
         box["terms"] = t
 
     def docs_chain():
-        base, n_docs, avg_doc_len = conv_doc_base_with_stats(doc_lens)
+        base, n_docs, avg_doc_len, release = conv_doc_base_with_stats_ranged(
+            doc_lens
+        )
         box["base"] = base
         box["stats"] = (n_docs, avg_doc_len)
         writes = [
@@ -582,13 +727,16 @@ def _finalize_artifacts(
             # (doc_id = base[conv] + turn_idx by construction, labels
             # resolve from base/ in-kernel). At 10^12 turns callers
             # skip this redundant full-corpus write.
-            docs = assign_doc_ids(doc_lens, base=base)
+            docs = assign_doc_ids(
+                doc_lens.drop("partition_id"), base=base
+            )
             writes.append(
                 lambda: docs.write.mode("overwrite").parquet(
                     os.path.join(index_root, "docs")
                 )
             )
         _parallel_jobs(*writes)
+        release()
 
     _parallel_jobs(terms_chain, docs_chain)
     n_docs, avg_doc_len = box["stats"]
@@ -602,7 +750,8 @@ def _finalize_artifacts(
         raw, terms, n_docs, avg_doc_len, scheme=scheme, norm=norm
     )
     idx = InvertedIndex(
-        terms=terms, weights=weights, doc_lens=doc_lens,
+        terms=terms, weights=weights,
+        doc_lens=doc_lens.drop("partition_id"),
         n_docs=n_docs, avg_doc_len=avg_doc_len,
         ngrams=1, scheme=scheme, norm=norm,
     )
