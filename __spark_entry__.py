@@ -462,6 +462,39 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_BATCH_IDS = [0, 1, 2, 3, 4]
 ANN_DIM = 64  # testdata embeddings are 64-d; planes must match exactly
 
+DEDUP_EMB_THRESHOLD, DEDUP_EMB_BANDS, DEDUP_EMB_PPB = 0.35, 8, 4
+IVF_K, IVF_CLUSTERS, IVF_ITERS, IVF_NPROBE = 10, 4, 2, 2
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal: banded hyperplane LSH
+    candidates (min-anchor emission), exact-cosine verify, min-id
+    survivors — the paraphrase-level dedup of a training pipeline."""
+    from ir_base_spark.ops.similarity import dedup_embedding
+
+    return dedup_embedding(
+        _tbl(spark, sf_dir, "embeddings"),
+        threshold=DEDUP_EMB_THRESHOLD,
+        bands=DEDUP_EMB_BANDS,
+        planes_per_band=DEDUP_EMB_PPB,
+        dim=ANN_DIM,
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic cosine-KMeans coarse quantizer, nprobe
+    nearest inverted lists, exact-cosine re-rank."""
+    from ir_base_spark.ops.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _tbl(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=IVF_K,
+        n_clusters=IVF_CLUSTERS,
+        iterations=IVF_ITERS,
+        nprobe=IVF_NPROBE,
+    )
+
 
 def q_ann_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query ANN over the precomputed bucket table — the scale
@@ -964,8 +997,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
-    """Iteration-unrolled Lloyd oracle for kmeans_clusters."""
+def _kmeans_cte(kk: int, iters: int) -> str:
+    """Iteration-unrolled Lloyd CTE chain (shared by the kmeans_clusters
+    and ann_ivf_topk oracles): defines X, xn, cent0..cent{iters},
+    cn{fin}, and the final assignment asg{fin} where fin = iters + 1."""
     assign_tpl = """
 cn{i} AS (SELECT c, sqrt(sum(cval * cval)) AS cn FROM cent{p} GROUP BY c),
 dot{i} AS (
@@ -994,13 +1029,13 @@ seed AS (
   SELECT id, c FROM (
     SELECT id, row_number() OVER (ORDER BY id ASC) - 1 AS c
     FROM (SELECT DISTINCT id FROM X)
-  ) WHERE c < {KM_K}
+  ) WHERE c < {kk}
 ),
 cent0 AS (
   SELECT s.c, X.pos, X.val AS cval FROM X JOIN seed s USING (id)
 )"""
     steps = []
-    for i in range(1, KM_ITERS + 1):
+    for i in range(1, iters + 1):
         steps.append("," + assign_tpl.format(i=i, p=i - 1) + f""",
 newc{i} AS (
   SELECT a.c, X.pos, avg(X.val) AS cval
@@ -1010,14 +1045,113 @@ cent{i} AS (
   SELECT o.c, o.pos, coalesce(n.cval, o.cval) AS cval
   FROM cent{i - 1} o LEFT JOIN newc{i} n ON o.c = n.c AND o.pos = n.pos
 )""")
+    fin = iters + 1
+    return head + "".join(steps) + "," + assign_tpl.format(i=fin, p=iters)
+
+
+def _kmeans_sql() -> str:
+    """Iteration-unrolled Lloyd oracle for kmeans_clusters."""
     fin = KM_ITERS + 1
-    tail = (
-        "," + assign_tpl.format(i=fin, p=KM_ITERS)
-        + f"""
+    return _kmeans_cte(KM_K, KM_ITERS) + f"""
 SELECT id AS vec_id, CAST(c AS INTEGER) AS cluster, dist AS dist9 FROM asg{fin}
 """
+
+
+def _ann_ivf_sql() -> str:
+    """IVF-ANN oracle: the kmeans CTE chain as the coarse quantizer,
+    then probe the IVF_NPROBE nearest centroids and exact-rank their
+    lists (mirrors ops/similarity.ann_ivf_topk: same dist9/sim6
+    rounding, same (dist asc, c asc) and (sim desc, id asc) ties)."""
+    fin = IVF_ITERS + 1
+    return _kmeans_cte(IVF_CLUSTERS, IVF_ITERS) + f""",
+qX AS (SELECT pos, val AS qval FROM X WHERE id = 0),
+qn AS (SELECT sqrt(sum(qval * qval)) AS qn FROM qX),
+cdot AS (
+  SELECT c, sum(cval * qval) AS dot
+  FROM cent{IVF_ITERS} JOIN qX USING (pos) GROUP BY c
+),
+cdist AS (
+  SELECT d.c, round(1.0 - d.dot / n.cn / q.qn, 9) AS cdist
+  FROM cdot d JOIN cn{fin} n USING (c) CROSS JOIN qn q
+),
+probes AS (
+  SELECT c FROM (
+    SELECT c, row_number() OVER (ORDER BY cdist ASC, c ASC) AS rn
+    FROM cdist
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.id FROM asg{fin} a JOIN probes USING (c) WHERE a.id <> 0
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sim AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+             AS sim6
+  FROM embeddings e JOIN cand ON e.vec_id = cand.id CROSS JOIN qv q
+),
+ranked AS (
+  SELECT vec_id, sim6,
+         CAST(row_number() OVER (ORDER BY sim6 DESC, vec_id ASC) AS INT)
+             AS rank
+  FROM sim
+)
+SELECT rank, vec_id, sim6 FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+def _dedup_embedding_sql() -> str:
+    """Banded hyperplane-LSH near-dup oracle: per-band bucket exprs
+    unrolled from the shared seeded hyperplane constants (left-
+    associated sums — bit-identical signs to F.aggregate's fold),
+    min-anchor candidate emission per band, exact-cosine verify at
+    6 dp, min-id survivor rule."""
+    from ir_base_spark.ops.similarity import hyperplanes
+
+    planes = hyperplanes(
+        n_planes=DEDUP_EMB_BANDS * DEDUP_EMB_PPB, dim=ANN_DIM
     )
-    return head + "".join(steps) + tail
+    band_ctes = []
+    band_selects = []
+    for b in range(DEDUP_EMB_BANDS):
+        pl = planes[b * DEDUP_EMB_PPB : (b + 1) * DEDUP_EMB_PPB]
+        bits = []
+        for i, p in enumerate(pl):
+            proj = " + ".join(
+                f"e[{j + 1}] * ({c!r})" for j, c in enumerate(p)
+            )
+            bits.append(
+                f"(CASE WHEN ({proj}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        expr = "\n       + ".join(bits)
+        band_ctes.append(
+            f"s{b} AS (SELECT vec_id, {expr} AS bk FROM emb),\n"
+            f"a{b} AS (SELECT bk, min(vec_id) AS vec_a FROM s{b} GROUP BY bk)"
+        )
+        band_selects.append(
+            f"SELECT a{b}.vec_a, s{b}.vec_id AS vec_b\n"
+            f"  FROM s{b} JOIN a{b} USING (bk) WHERE s{b}.vec_id > a{b}.vec_a"
+        )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{",".join(band_ctes)},
+cand AS (SELECT DISTINCT vec_a, vec_b FROM ({" UNION ALL ".join(band_selects)})),
+verified AS (
+  SELECT c.vec_a, c.vec_b
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.vec_a
+  JOIN emb eb ON eb.vec_id = c.vec_b
+  WHERE round(list_cosine_similarity(ea.e, eb.e), 6) >= {DEDUP_EMB_THRESHOLD!r}
+),
+dup_of AS (
+  SELECT vec_b AS vec_id, min(vec_a) AS dup_of FROM verified GROUP BY vec_b
+)
+SELECT e.vec_id,
+       CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS is_dup,
+       d.dup_of
+FROM emb e LEFT JOIN dup_of d USING (vec_id)
+"""
 
 
 PR_K, PR_ALPHA, PR_ITERS, PR_MIN = 5, 0.15, 2, 10
@@ -1703,6 +1837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lda_topics": q_lda_topics,
         "multimodal_features": q_multimodal_features,
         "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding": q_dedup_embedding,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -2514,6 +2650,8 @@ QUALIFY rank <= 10
         "lda_topics": _lda_sql(),
         "multimodal_features": _multimodal_sql(),
         "ann_lsh_topk_batch": _ann_lsh_sql(ANN_BATCH_IDS, 10, single=False),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        "dedup_embedding": _dedup_embedding_sql(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

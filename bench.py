@@ -45,6 +45,8 @@ ENTRY_BENCH_QUERIES = [
     "quality_score",
     "ann_cosine_topk",
     "ann_lsh_topk_batch",
+    "ann_ivf_topk",
+    "dedup_embedding",
     "gaussian_fields_predict",
     "plsa_topics",
     "lda_topics",

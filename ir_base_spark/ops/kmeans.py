@@ -32,8 +32,14 @@ def kmeans_cosine(
     iterations: int = 2,
     id_col: str = "id",
     vec_col: str = "vec",
+    return_centroids: bool = False,
 ) -> DataFrame:
-    """vectors(id, vec array) → (id, cluster, dist9)."""
+    """vectors(id, vec array) → (id, cluster, dist9).
+
+    ``return_centroids=True``: returns (assignment, centroids) where
+    centroids is the positional (c, pos, cval) table AFTER the final
+    update — the coarse quantizer an IVF index probes against
+    (ops/similarity.ann_ivf_topk)."""
     X = vectors.select(
         F.col(id_col).alias("id"), F.posexplode(F.col(vec_col))
     ).select("id", F.col("pos"), F.col("col").alias("val"))
@@ -99,8 +105,11 @@ def kmeans_cosine(
 
     # predict(): the assignment under the FINAL centroids
     assign = assign_to(cent)
-    return assign.select(
+    out = assign.select(
         F.col("id").alias(id_col),
         F.col("c").alias("cluster"),
         F.col("dist").alias("dist9"),
     )
+    if return_centroids:
+        return out, cent
+    return out

@@ -212,3 +212,175 @@ def ann_lsh_topk(
         bucket_table=bucket_table,
     )
     return out.select("rank", "vec_id", "sim6")
+
+
+def dedup_embedding(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 4,
+    planes_per_band: int = 6,
+    dim: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: banded hyperplane LSH
+    candidates → exact-cosine verify → min-id survivors.
+
+    The embedding-space sibling of ops/textops.dedup_near (MinHash) —
+    the dedup a pipeline runs when near-duplicates are paraphrases
+    rather than copies. Each band packs ``planes_per_band`` projection
+    signs into one bucket int; vectors colliding with their band
+    bucket's MIN-id anchor become candidate pairs (O(m) per duplicate
+    cluster per band, never O(m²) — no self-join). Candidates verify
+    with exact double cosine rounded to 6 dp (cross-engine-stable
+    comparison), and a vector is removable when it verifies against a
+    smaller-id anchor — the same keep-min-id convention as dedup_exact
+    / dedup_near, with the same anchor-transitivity recall trade.
+
+    Output: (vec_id, is_dup, dup_of).
+    """
+    planes = hyperplanes(
+        n_planes=bands * planes_per_band, dim=dim, seed=seed
+    )
+    sig_cols = []
+    for b in range(bands):
+        pl = planes[b * planes_per_band : (b + 1) * planes_per_band]
+        sig_cols.append(_bucket_expr(F.col("embedding"), pl).alias(f"b{b}"))
+    sig = embeddings.select("vec_id", *sig_cols)
+
+    cand = None
+    for b in range(bands):
+        anchors = sig.groupBy(F.col(f"b{b}").alias("bk")).agg(
+            F.min("vec_id").alias("vec_a")
+        )
+        pairs = (
+            sig.select(F.col(f"b{b}").alias("bk"), F.col("vec_id").alias("vec_b"))
+            .join(anchors, "bk")
+            .filter(F.col("vec_b") > F.col("vec_a"))
+            .select("vec_a", "vec_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    bb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    verified = (
+        cand.join(a, "vec_a")
+        .join(bb, "vec_b")
+        .withColumn(
+            "sim6",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+                6,
+            ),
+        )
+        .filter(F.col("sim6") >= F.lit(threshold))
+        .select("vec_a", "vec_b")
+    )
+    dup_of = verified.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of")
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(rank, vec_id, sim6): IVF approximate nearest neighbour — the
+    coarse-quantizer counterpart to the hyperplane-LSH route.
+
+    Train: deterministic cosine KMeans (ops/kmeans.kmeans_cosine) is
+    the coarse quantizer; every vector is assigned to its nearest
+    centroid (the inverted lists). Query: rank centroids by cosine
+    distance to the query, search the ``nprobe`` closest lists only,
+    exact-cosine re-rank, bounded top-k.
+
+    Scale shape: the centroid table is n_clusters x dim (tiny,
+    broadcast); at 100 TB the assignment column is persisted
+    ``bucketBy(n_clusters, "cluster")`` exactly like the LSH bucket
+    table, so a query scans only its probed lists. All vector math is
+    zip_with/aggregate codegen; no UDFs, no cross join (the only
+    crossJoin is the broadcast 1-row query vector).
+    """
+    from .kmeans import kmeans_cosine
+
+    v = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assign, cent = kmeans_cosine(
+        v, k=n_clusters, iterations=iterations, return_centroids=True
+    )
+
+    qX = (
+        v.filter(F.col("id") == query_vec_id)
+        .select(F.posexplode("vec"))
+        .select("pos", F.col("col").alias("qval"))
+    )
+    qn = qX.agg(F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("qn"))
+    cn = cent.groupBy("c").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
+    )
+    cdot = (
+        cent.join(F.broadcast(qX), "pos")
+        .groupBy("c")
+        .agg(F.sum(F.col("cval") * F.col("qval")).alias("dot"))
+    )
+    cdist = (
+        cdot.join(F.broadcast(cn), "c")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "c",
+            F.round(
+                F.lit(1.0) - F.col("dot") / F.col("cn") / F.col("qn"), 9
+            ).alias("cdist"),
+        )
+    )
+    wp = Window.orderBy(F.col("cdist").asc(), F.col("c").asc())
+    probes = (
+        cdist.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("c")
+    )
+    cand_ids = (
+        assign.join(F.broadcast(probes), assign["cluster"] == probes["c"])
+        .filter(F.col("id") != query_vec_id)
+        .select(F.col("id").alias("vec_id"))
+    )
+    qv = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    sim = (
+        embeddings.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("sim6"),
+        )
+    )
+    from ..functions.ranking import rank_bounded
+
+    return rank_bounded(
+        sim, [F.col("sim6").desc(), F.col("vec_id").asc()], k
+    ).select("rank", "vec_id", "sim6")
