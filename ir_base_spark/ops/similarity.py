@@ -312,69 +312,63 @@ def ann_ivf_topk(
     distance to the query, search the ``nprobe`` closest lists only,
     exact-cosine re-rank, bounded top-k.
 
-    Scale shape: the centroid table is n_clusters x dim (tiny,
-    broadcast); at 100 TB the assignment column is persisted
-    ``bucketBy(n_clusters, "cluster")`` exactly like the LSH bucket
-    table, so a query scans only its probed lists. All vector math is
-    zip_with/aggregate codegen; no UDFs, no cross join (the only
-    crossJoin is the broadcast 1-row query vector).
+    Scale shape: the centroid table is n_clusters x dim (driver-literal
+    — K·dim doubles in every task closure); at 100 TB the assignment
+    column is persisted ``bucketBy(n_clusters, "cluster")`` exactly
+    like the LSH bucket table, so a query scans only its probed lists.
+    All vector math is zip_with/aggregate codegen; no UDFs, no cross
+    join beyond the broadcast 1-row query vector.
+
+    Optimization-round shape: the quantizer trains via
+    kmeans_train_cents (per-iteration centroid collect — no lineage
+    pyramid; the old plan re-executed every Lloyd iteration per
+    reference, 490 Exchange / 8271 plan lines, ~4 after). Probe
+    selection is one array_sort over the K (cdist, c) structs computed
+    against the query row — array_sort orders nulls LAST, matching the
+    DuckDB oracle's ORDER BY cdist ASC (the round-5 ADVICE nulls item);
+    candidate filtering and the exact-cosine re-rank are ONE map-side
+    pass over the assignment column with the broadcast query row.
     """
-    from .kmeans import kmeans_cosine
+    import math
+
+    from .kmeans import _fold_dot, kmeans_assign_expr, kmeans_train_cents
 
     v = embeddings.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
-    assign, cent = kmeans_cosine(
-        v, k=n_clusters, iterations=iterations, return_centroids=True
+    cents = kmeans_train_cents(v, k=n_clusters, iterations=iterations)
+
+    # 1-row query frame: exact vector + its nprobe probe clusters,
+    # ranked by (cdist asc NULLS LAST, c asc) via array_sort
+    qv_col = F.col("embedding").cast("array<double>")
+    qn = _norm(qv_col)
+    alts = []
+    for c, cv in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in cv))
+        cdist = F.round(
+            F.lit(1.0) - _fold_dot(qv_col, cv) / F.lit(cn) / qn, 9
+        )
+        alts.append(F.struct(cdist.alias("cdist"), F.lit(c).alias("c")))
+    probes_col = F.transform(
+        F.slice(F.array_sort(F.array(*alts)), 1, nprobe), lambda s: s["c"]
+    )
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), probes_col.alias("probes")
     )
 
-    qX = (
-        v.filter(F.col("id") == query_vec_id)
-        .select(F.posexplode("vec"))
-        .select("pos", F.col("col").alias("qval"))
-    )
-    qn = qX.agg(F.sqrt(F.sum(F.col("qval") * F.col("qval"))).alias("qn"))
-    cn = cent.groupBy("c").agg(
-        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
-    )
-    cdot = (
-        cent.join(F.broadcast(qX), "pos")
-        .groupBy("c")
-        .agg(F.sum(F.col("cval") * F.col("qval")).alias("dot"))
-    )
-    cdist = (
-        cdot.join(F.broadcast(cn), "c")
-        .crossJoin(F.broadcast(qn))
-        .select(
-            "c",
-            F.round(
-                F.lit(1.0) - F.col("dot") / F.col("cn") / F.col("qn"), 9
-            ).alias("cdist"),
-        )
-    )
-    wp = Window.orderBy(F.col("cdist").asc(), F.col("c").asc())
-    probes = (
-        cdist.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select("c")
-    )
-    cand_ids = (
-        assign.join(F.broadcast(probes), assign["cluster"] == probes["c"])
-        .filter(F.col("id") != query_vec_id)
-        .select(F.col("id").alias("vec_id"))
-    )
-    qv = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qv")
-    )
+    # map-only: assign each vector to its list, keep only probed lists,
+    # exact-cosine re-rank against the broadcast query row
     sim = (
-        embeddings.join(cand_ids, "vec_id")
-        .crossJoin(F.broadcast(qv))
+        v.withColumn("c", kmeans_assign_expr(F.col("vec"), cents)["c"])
+        .filter(F.col("id") != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .filter(F.array_contains(F.col("probes"), F.col("c")))
         .select(
-            "vec_id",
+            F.col("id").alias("vec_id"),
             F.round(
-                _dot(F.col("embedding"), F.col("qv"))
-                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                _dot(F.col("vec"), F.col("qv"))
+                / (_norm(F.col("vec")) * _norm(F.col("qv"))),
                 6,
             ).alias("sim6"),
         )
