@@ -30,6 +30,18 @@ two joins against the distinct (doc, term) projection plus K-column
 conditional aggregations (K = #aspects, all codegen) — no UDFs, no
 per-row Python, no cross joins. The distinct projection is computed
 once and cached across rounds.
+
+Optimization-round shape: the keyword set is bounded driver state
+(seeds + K·chi_size rows per round — the LambdaRank trainer pattern),
+COLLECTED at the end of each bootstrap round and folded into the next
+round's plan as a literal table. The old formulation chained
+``kw.unionByName(top).distinct()`` lazily, so the final annotate
+re-executed every earlier round once per reference (measured 91
+Exchange / 1313-line plan for the 2-round entry; ~6 after). The
+per-round annotation is cached while the round's two consumers (the
+aspect-count row and the per-term DF grid) both read it, then
+unpersisted. Collected keyword strings round-trip exactly, so the
+expansion is bit-identical to the lazy formulation.
 """
 
 from __future__ import annotations
@@ -70,8 +82,17 @@ def aspect_bootstrap(
     omitted).
     """
     K = n_aspects
+    spark = postings.sparkSession
     dt = postings.select("doc_id", "term").distinct().cache()
-    kw = seeds.select("aspect_id", "term")
+    kw_rows: set[tuple[int, str]] = {
+        (int(r["aspect_id"]), r["term"])
+        for r in seeds.select("aspect_id", "term").collect()
+    }
+
+    def kw_df():
+        return spark.createDataFrame(
+            sorted(kw_rows), "aspect_id int, term string"
+        )
 
     def annotate(kw_df):
         m = (
@@ -106,7 +127,7 @@ def aspect_bootstrap(
         )
 
     for _ in range(iterations):
-        asg = annotate(kw)
+        asg = annotate(kw_df()).cache()
         dist = asg.groupBy().agg(
             F.count(F.lit(1)).alias("N"),
             *[
@@ -165,6 +186,9 @@ def aspect_bootstrap(
             .filter(F.col("rn") <= chi_size)
             .select("aspect_id", "term")
         )
-        kw = kw.unionByName(top).distinct()
+        kw_rows |= {
+            (int(r["aspect_id"]), r["term"]) for r in top.collect()
+        }
+        asg.unpersist(blocking=False)
 
-    return kw, annotate(kw)
+    return kw_df(), annotate(kw_df())

@@ -221,6 +221,7 @@ def lda_variational_train(
     alpha = alpha_stats(gamma, alpha)
 
     # --- EM iterations ---
+    prev_phi = None
     for _ in range(em_iters):
         phi = None
         for _t in range(var_iters):
@@ -239,9 +240,26 @@ def lda_variational_train(
                 "d", "w", "v",
                 *[(F.exp(F.col(f"x{k}") - ls)).alias(f"p{k}") for k in ks],
             )
+            if _t == var_iters - 1:
+                # the E-step output feeds BOTH the γ checkpoint and the
+                # M-step φ aggregation: cache it so the variational
+                # chain executes once per EM iteration, not once per
+                # consumer (the chain re-ran ~2x per iteration before)
+                phi = phi.cache()
             gamma = gamma_from_phi(phi, alpha)
+        # ONE heavy job per EM iteration: the checkpoint materializes
+        # the cached E-step φ (and, lazily riding along, the PREVIOUS
+        # iteration's logφ, which this iteration's chain reads) — the
+        # M-step logφ below is NOT forced here, so the final
+        # iteration's logφ is never computed unless a caller asks for
+        # it (γ-only consumers skip a whole vocab aggregation).
         gamma = gamma.localCheckpoint()
+        if prev_phi is not None:
+            prev_phi.unpersist(blocking=False)
+        prev_logphi = logphi
         logphi = m_logphi(sstat_from_phi(phi)).cache()
+        prev_logphi.unpersist(blocking=False)
+        prev_phi = phi
         alpha = alpha_stats(gamma, alpha)
 
     gamma_out = gamma.select(

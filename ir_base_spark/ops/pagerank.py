@@ -55,7 +55,10 @@ def pagerank_instance_weights(
     sizes = V.groupBy("g").agg(F.count(F.lit(1)).alias("N")).filter(
         F.col("N") > min_group_size
     )
-    V = V.join(F.broadcast(sizes), "g")
+    # cached: read by both sides of the pair join, the node table and
+    # the edge build — without it the pair self-join re-derives the
+    # grouped/filtered vector table once per consumer
+    V = V.join(F.broadcast(sizes), "g").cache()
 
     pairs = (
         V.alias("a")
@@ -115,6 +118,11 @@ def pagerank_instance_weights(
                 F.lit(alpha) / F.col("N")
                 + F.lit(1.0 - alpha) * F.coalesce(F.col("infl"), F.lit(0.0)),
             )
+            # read twice per iteration (L2 norm + the normalized rank):
+            # cached, or the pre-norm subtree doubles per iteration
+            # (2^iterations plan blowup — 206 Exchange / 2731 lines
+            # for the 3-iteration entry before; 19 after)
+            .cache()
         )
         norm = upd.groupBy("g").agg(
             F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm")

@@ -71,9 +71,9 @@ def plsa_train(
         F.col(doc_col).alias("d"),
         F.col(term_col).alias("w"),
         F.col(tf_col).cast("double").alias("v"),
-    )
+    ).cache()  # read by docs/vocab/init and once per EM iteration
     docs = P.select("d").distinct()
-    vocab = P.groupBy("w").agg(F.sum("v").alias("wtf"))
+    vocab = P.groupBy("w").agg(F.sum("v").alias("wtf")).cache()
 
     # background: L1-normalized (beta-1)+TTF (pLSA.java:115-120)
     bg_raw = F.lit(beta - 1.0) + F.col("wtf")
@@ -110,7 +110,11 @@ def plsa_train(
     )
 
     def _norm_phi(sstat):
-        """phi_kj = sstat_kj / Σ_j sstat_kj, background re-attached."""
+        """phi_kj = sstat_kj / Σ_j sstat_kj, background re-attached.
+
+        sstat is read twice (the normalizer row and the per-term
+        select): cached so the topic-term aggregation runs once."""
+        sstat = sstat.cache()
         tot = sstat.agg(
             *[F.sum(f"ws{k}").alias(f"_wt{k}") for k in range(K)]
         )
@@ -160,7 +164,7 @@ def plsa_train(
                 ).alias(f"e{k}")
                 for k in range(K)
             ],
-        )
+        ).cache()  # E-step output feeds BOTH the θ and φ aggregations
         theta = _norm_rows(
             e.groupBy("d").agg(
                 *[

@@ -244,22 +244,26 @@ def dedup_embedding(
     sig_cols = []
     for b in range(bands):
         pl = planes[b * planes_per_band : (b + 1) * planes_per_band]
-        sig_cols.append(_bucket_expr(F.col("embedding"), pl).alias(f"b{b}"))
-    sig = embeddings.select("vec_id", *sig_cols)
-
-    cand = None
-    for b in range(bands):
-        anchors = sig.groupBy(F.col(f"b{b}").alias("bk")).agg(
-            F.min("vec_id").alias("vec_a")
+        sig_cols.append(_bucket_expr(F.col("embedding"), pl))
+    # ONE posexplode over the per-band bucket array + ONE min-anchor
+    # window keyed by (band, bucket) — the minhash_lsh_candidates
+    # shape. The previous form ran a separate groupBy+join+union chain
+    # per band, each branch re-deriving every band signature from the
+    # raw embeddings (bands× the projection work and a 42-Exchange
+    # plan); same emitted pair set (min-id anchor per bucket per band).
+    banded = embeddings.select(
+        "vec_id",
+        F.posexplode(F.array(*sig_cols)).alias("band", "bk"),
+    )
+    w = Window.partitionBy("band", "bk")
+    cand = (
+        banded.withColumn("anchor", F.min("vec_id").over(w))
+        .filter(F.col("vec_id") > F.col("anchor"))
+        .select(
+            F.col("anchor").alias("vec_a"), F.col("vec_id").alias("vec_b")
         )
-        pairs = (
-            sig.select(F.col(f"b{b}").alias("bk"), F.col("vec_id").alias("vec_b"))
-            .join(anchors, "bk")
-            .filter(F.col("vec_b") > F.col("vec_a"))
-            .select("vec_a", "vec_b")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+        .distinct()
+    )
 
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")

@@ -277,14 +277,33 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def _shingles(col, n: int = 3):
-    """Distinct character n-gram shingle array (codegen'd: sequence +
-    transform + array_distinct)."""
+    """Distinct character n-gram shingle array — codegen'd as zip_with
+    over n-1 shifted copies of the char array, then a slice to the
+    window count and array_distinct.
+
+    NOT substring(t, i, n) in a transform: UTF8String.substring is
+    O(i) (it scans from the string head to find the code-point
+    offset), making the sliding window O(L²) per document — a measured
+    3.5s of the 5s minhash_lsh entry at sf0.1. And NOT slice/array_join
+    over a char array referenced inside a transform lambda: expressions
+    closed over by a lambda re-evaluate per ELEMENT (no cross-lambda
+    subexpression elimination), which re-split the string L times.
+    zip_with children are evaluated once per row and its lambda touches
+    only its own variables, so this form is O(n·L) per row. The
+    coalesce('') padding reproduces substring's short-window behavior
+    for strings shorter than n; verified equal to the substring form on
+    empty/short/multibyte inputs."""
     t = F.lower(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
-            lambda i: F.substring(t, i, n),
+    cs = F.split(t, "")
+    win = cs
+    for j in range(1, n):
+        win = F.zip_with(
+            win,
+            F.slice(cs, j + 1, F.greatest(F.size(cs), F.lit(1))),
+            lambda a, b: F.concat(a, F.coalesce(b, F.lit(""))),
         )
+    return F.array_distinct(
+        F.slice(win, 1, F.greatest(F.length(t) - (n - 1), F.lit(1)))
     )
 
 
@@ -335,12 +354,19 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = 32, shingle: int = 3
+    documents: DataFrame,
+    num_hashes: int = 32,
+    shingle: int = 3,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: h_i(x) = (a_i·x + b_i) mod p over xxhash64
     shingle keys — all codegen'd column math, no UDF.
 
     (doc_id, sig: array<bigint>). Deterministic (fixed seed constants).
+    ``shingle_arrays`` (doc_id, sh array) reuses a precomputed (e.g.
+    cached) shingle table instead of re-deriving it from the text —
+    dedup_near shares one shingle pass between candidate generation
+    and verification.
     """
     # 31-bit Mersenne prime: (x % p) * a + b stays far below 2^63, so the
     # expression is safe under ANSI overflow checking
@@ -349,8 +375,12 @@ def minhash_signatures(
 
     rnd = random.Random(20240816)
     coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
-    sh = documents.select(
-        "doc_id", F.explode(_shingles(F.col("text"), shingle)).alias("sh")
+    if shingle_arrays is None:
+        shingle_arrays = documents.select(
+            "doc_id", _shingles(F.col("text"), shingle).alias("sh")
+        )
+    sh = shingle_arrays.select(
+        "doc_id", F.explode(F.col("sh")).alias("sh")
     ).withColumn("x", F.pmod(F.xxhash64(F.col("sh")), F.lit(p)))
     mins = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"h{i}")
@@ -368,6 +398,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle: int = 3,
     all_pairs: bool = False,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding → candidate pairs (doc_a < doc_b).
 
@@ -386,7 +417,12 @@ def minhash_lsh_candidates(
     bounded corpora where full pair recall matters.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes=num_hashes, shingle=shingle)
+    sig = minhash_signatures(
+        documents,
+        num_hashes=num_hashes,
+        shingle=shingle,
+        shingle_arrays=shingle_arrays,
+    )
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -583,11 +619,18 @@ def dedup_near(
     to the anchor transitively (never sharing a bucket with it) are
     kept — the standard recall trade of anchor-based LSH dedup.
     """
-    cand = minhash_lsh_candidates(
-        documents, num_hashes=num_hashes, bands=bands, shingle=shingle
-    )
+    # ONE shingle pass, cached: candidate generation explodes it, the
+    # verify stage reads the arrays twice (a/b sides) — it fills on
+    # first use inside the caller's single action
     sh = documents.select(
         "doc_id", _shingles(F.col("text"), shingle).alias("sh")
+    ).cache()
+    cand = minhash_lsh_candidates(
+        documents,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle=shingle,
+        shingle_arrays=sh,
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
