@@ -126,6 +126,11 @@ def two_phase_cumsum(
     samples its boundaries — two separate evaluations could disagree,
     silently producing overlapping id ranges (observed as duplicate doc
     ids at 3.4M docs before this pin)."""
+    # cache the input: repartitionByRange SAMPLES the frame for range
+    # boundaries before the checkpoint pass materializes it — without
+    # the cache every upstream aggregation runs twice (assign_dense_ids
+    # already does this; a measured ~1.5s of the sf0.1 split phase)
+    df = df.cache()
     part = df.repartitionByRange(num_partitions, F.col(order_col).asc())
     with_pid = part.withColumn("_pid", F.spark_partition_id())
     w = (
@@ -138,6 +143,7 @@ def two_phase_cumsum(
     # a fresh boundary sample; the checkpoint truncates lineage so the
     # boundaries observed by the offsets job are the only ones possible.
     local = with_pid.withColumn("_cum", F.sum(value_col).over(w)).localCheckpoint()
+    df.unpersist(blocking=False)
     # piggyback requested column totals on the SAME offsets job
     # (extra_sums/totals_out) — a separate totals aggregation would be
     # one more driver barrier on the finalize critical path
