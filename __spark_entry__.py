@@ -1782,17 +1782,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk_docs(spark, "/root/testdata/sf0.001")
 
 
+def _fresh(fn: Callable[[SparkSession, str], DataFrame]):
+    """Cache hygiene between registry entries (guide §5; r5 verdict
+    task 3): 30+ entries share one JVM in the bench/correctness
+    harnesses and several build internal ``cache()``s they cannot
+    unpersist themselves (the consumer materializes the returned frame
+    AFTER the entry function returns). Leaked storage memory from
+    earlier entries competes with the current entry's execution memory
+    (measured: 25 persistent RDDs accumulated over 15 entries).
+    Clearing at entry START is safe: the previous entry's output was
+    already materialized by its caller, and unpersist never changes
+    results — only where bytes are recomputed from."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    # Registry ORDER is deliberate (r5 verdict task 1): the driver's
+    # correctness gate has historically verified the first 50 entries,
+    # so entries that have never had a driver row (lda_topics,
+    # multimodal_features, ann_ivf_topk, dedup_embedding), the r4-last-
+    # verified ann_lsh_topk_batch, and the r5-rewritten flagship
+    # transcripts_bm25_wand sit INSIDE the window; six stable gates
+    # that were driver-green for >= 2 consecutive rounds (three weight-
+    # scheme variants, lm add-one variant, single-query ann_lsh_topk vs
+    # the batch form, shuffled_sample) rotate past position 50. Every
+    # entry keeps its name, implementation, and oracle SQL unchanged.
+    reg = {
         "bm25_topk_docs": q_bm25_topk_docs,
         "bm25_topk_docs_wand": q_bm25_topk_docs_wand,
+        "transcripts_bm25_wand": q_transcripts_bm25_wand,
         "lm_topk_docs": q_lm_topk_docs,
-        "lm_topk_addone": q_lm_topk_addone,
         "tfidf_weights": q_tfidf_weights,
-        "tfidf_sublinear_weights": q_tfidf_sublinear_weights,
-        "pln_weights": q_pln_weights,
         "bm25_weights_l2": q_bm25_weights_l2,
-        "bm25_weights_l1": q_bm25_weights_l1,
+        "lda_topics": q_lda_topics,
+        "multimodal_features": q_multimodal_features,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
         "feature_chi": q_feature_chi,
         "feature_ig": q_feature_ig,
         "feature_mi": q_feature_mi,
@@ -1809,7 +1842,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_model": q_nb_model,
         "nb_predict": q_nb_predict,
         "dedup_near": q_dedup_near,
-        "shuffled_sample": q_shuffled_sample,
         "kfold_counts": q_kfold_counts,
         "token_counts": q_token_counts,
         "term_stats": q_term_stats,
@@ -1824,7 +1856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "gaussian_fields_predict": q_gaussian_fields_predict,
         "ranking_features_meta": q_ranking_features_meta,
         "l2r_metric_scores": q_l2r_metric_scores,
@@ -1834,11 +1865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentiword_scores": q_sentiword_scores,
         "pagerank_weights": q_pagerank_weights,
         "kmeans_clusters": q_kmeans_clusters,
-        "lda_topics": q_lda_topics,
-        "multimodal_features": q_multimodal_features,
-        "ann_lsh_topk_batch": q_ann_lsh_topk_batch,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "dedup_embedding": q_dedup_embedding,
+        "lm_topk_addone": q_lm_topk_addone,
+        "tfidf_sublinear_weights": q_tfidf_sublinear_weights,
+        "pln_weights": q_pln_weights,
+        "bm25_weights_l1": q_bm25_weights_l1,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "shuffled_sample": q_shuffled_sample,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -1846,8 +1878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_distinct_union": q_priority_distinct_union,
         "user_event_sessions": q_user_event_sessions,
         "ndcg_by_event_type": q_ndcg_by_event_type,
-        "transcripts_bm25_wand": q_transcripts_bm25_wand,
     }
+    return {name: _fresh(fn) for name, fn in reg.items()}
 
 
 # ------------------------------------------------------------ oracle SQL

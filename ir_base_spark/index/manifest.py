@@ -55,9 +55,15 @@ MANIFEST_VERSION = 1
 class PartitionManifest:
     """Per-partition build lineage + metrics.
 
-    Lineage fields (snapshot_id, conv_id_min/max, status) are exact:
-    cmin/cmax are min/max aggregates and therefore idempotent under
-    task retries. Count/rate fields (turns, postings_written,
+    Lineage fields (snapshot_id, conv_id_min/max, status) are exact
+    and idempotent under task retries. Since the r5 term-partials
+    change, cmin/cmax come from the split-time conversation map (the
+    conversations ASSIGNED to the partition), not from observed
+    postings: a partition whose edge conversations were fully pruned
+    (min_distinct_terms, empty turns) reports a range WIDER than its
+    postings actually cover. That is a safe superset for conv-range
+    pruning — readers must not treat cmin/cmax as tight postings
+    bounds. Count/rate fields (turns, postings_written,
     terms_per_sec, turns_per_sec) are collected via the Observation
     API on the write job and are APPROXIMATE under task retries or
     speculative execution — treat them as operational reporting, not
@@ -503,6 +509,27 @@ def resumable_build(
             f"manifest rows for snapshot(s) != {snap} present: {stale}; "
             "use a fresh index_root"
         )
+
+    # Tokenizer-params guard: the snapshot id covers the INPUT only, so
+    # resuming the same root with different build params would otherwise
+    # mix postings (and term partials) produced under two tokenizers —
+    # the one staleness path input_snapshot_id cannot see.
+    params = {
+        "ngrams": ngrams,
+        "analyzer": analyzer,
+        "min_distinct_terms": min_distinct_terms,
+    }
+    pfile = os.path.join(_manifest_dir(index_root), "build_params.json")
+    if os.path.exists(pfile):
+        with open(pfile) as fh:
+            prev = json.load(fh)
+        if prev != params:
+            raise ValueError(
+                f"index_root {index_root} was built with params {prev}, "
+                f"resume requested with {params}; use a fresh index_root"
+            )
+    else:
+        _atomic_write_json(pfile, params)
 
     os.makedirs(os.path.join(index_root, "postings"), exist_ok=True)
     todo = [pid for pid in range(num_partitions) if pid not in done]

@@ -113,7 +113,7 @@ def kmeans_cosine(
     id_col: str = "id",
     vec_col: str = "vec",
     return_centroids: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """vectors(id, vec array) → (id, cluster, dist9).
 
     ``return_centroids=True``: returns (assignment, centroids) where

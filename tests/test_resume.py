@@ -58,6 +58,7 @@ def test_resume_skips_completed_partitions(spark, fixture_small, tmp_path):
     for k, v in survivors.items():
         assert after[k] == v, f"partition output {k} was recomputed"
 
+
     # manifest rows carry lineage + metrics
     man = read_manifest(root)
     assert len(man) == P
@@ -68,6 +69,20 @@ def test_resume_skips_completed_partitions(spark, fixture_small, tmp_path):
             assert m.postings_written > 0
             assert m.bytes_compressed > 0
             assert m.turns_per_sec >= 0
+
+
+def test_resume_rejects_changed_build_params(spark, fixture_small, tmp_path):
+    """Same root + same input but different tokenizer params must be
+    refused: the input snapshot id cannot see the params, and mixing
+    postings/term-partials built under two tokenizers would be silent
+    corruption (r5 ADVICE item on load_term_partials staleness)."""
+    import pytest
+
+    t = spark.createDataFrame(fixture_small.transcripts)
+    root = str(tmp_path / "idx_params")
+    resumable_build(spark, t, root, num_partitions=4)
+    with pytest.raises(ValueError, match="built with params"):
+        resumable_build(spark, t, root, num_partitions=4, ngrams=2)
 
 
 def test_resumed_index_identical_to_fresh(spark, fixture_small, tmp_path):

@@ -180,6 +180,12 @@ def main() -> None:
         help="suffix for BENCH/scaling_<tag>.json (e.g. a second core "
         "pair); the untagged run also (re)writes BENCH/BASELINE.md",
     )
+    ap.add_argument(
+        "--probe-max", type=float, default=2.5,
+        help="max 16-way host-probe inflation accepted before a child "
+        "run (clean on this shared-bus box is ~2.0-2.5x; degraded "
+        "windows show 4-10x)",
+    )
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--child-cores", type=int)
     ap.add_argument("--input")
@@ -194,7 +200,34 @@ def main() -> None:
     core_list = [int(x) for x in args.cores.split(",")]
     schedule = [c for _ in range(args.repeat) for c in core_list]
     all_runs: dict[int, list[dict]] = {c: [] for c in core_list}
-    for c in schedule:
+    probes: list[dict] = []
+
+    # host-window bracketing (r5 verdict task 2): probe before every
+    # child and once after the last; a child whose pre-probe shows a
+    # degraded window (16-way inflation > --probe-max) is delayed until
+    # a clean probe (bounded retries), and every probe is recorded in
+    # the output JSON next to the run it brackets. Clean on THIS box is
+    # ~2.0-2.5x (32 vCPUs share one memory bus for the 16-way numpy
+    # kernel); degraded windows show 4-10x (see BENCH/r06_probes.jsonl).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from host_probe import probe as _host_probe
+
+    def _clean_probe(context: str) -> dict:
+        for wait in (0, 30, 60, 120, 120, 120):
+            if wait:
+                print(f"degraded window; sleeping {wait}s", file=sys.stderr)
+                time.sleep(wait)
+            p = _host_probe()
+            p["context"] = context
+            probes.append(p)
+            print(f"probe {context}: {p}", file=sys.stderr)
+            if p["inflation_16"] <= args.probe_max:
+                return p
+        print("WARNING: no clean window found; proceeding", file=sys.stderr)
+        return p
+
+    for run_no, c in enumerate(schedule):
+        pre = _clean_probe(f"before run {run_no} cores={c}")
         # py4j occasionally loses a response under heavy local-mode load
         # (driver blocks on a socket read with an idle JVM) - bound each
         # child and retry once
@@ -225,7 +258,10 @@ def main() -> None:
             print(proc.stderr[-2000:], file=sys.stderr)
         if not line:
             raise RuntimeError(f"child cores={c} failed twice")
-        all_runs[c].append(json.loads(line[-1].removeprefix("CHILD_RESULT ")))
+        rec = json.loads(line[-1].removeprefix("CHILD_RESULT "))
+        rec["pre_probe_inflation_16"] = pre["inflation_16"]
+        all_runs[c].append(rec)
+    _clean_probe("after last run")
 
     for c in core_list:
         runs = all_runs[c]
@@ -268,6 +304,8 @@ def main() -> None:
         "efficiency_taat_queries": round(eff_taat, 3),
         "efficiency_bmw_queries": round(eff_bmw, 3),
         "convs": args.convs,
+        "probes": probes,
+        "probe_max_inflation": args.probe_max,
     }
     suffix = f"_{args.tag}" if args.tag else ""
     with open(
