@@ -68,6 +68,12 @@ REFERENCE_WEIGHTS = [
     -0.09206, 0.02567, -0.03405, -0.05709, 0.05842,
 ]
 
+# The unlabeled set U is collected to the driver and broadcast as the
+# feature build's query side ("queries are a handful of docs"
+# contract, l2r.py). Enforced, not assumed — see
+# l2r_metric_gaussian_fields.
+MAX_UNLABELED = 100_000
+
 
 def l2r_metric_scores(feats: DataFrame, weights: list[float]) -> DataFrame:
     """(uid, nid, s): every candidate pair scored by the learned metric.
@@ -143,13 +149,26 @@ def l2r_metric_gaussian_fields(
     lab = labeled.select(
         F.col("doc_id").alias("id"), F.col("label").cast("double").alias("y")
     )
-    u_ids = [
-        r[0]
-        for r in docs.select("doc_id")
-        .join(lab, docs["doc_id"] == lab["id"], "left_anti")
-        .orderBy("doc_id")
-        .collect()
-    ]
+    unl = docs.select("doc_id").join(
+        lab, docs["doc_id"] == lab["id"], "left_anti"
+    )
+    # Enforce the driver-residency contract instead of assuming it
+    # (jobs/query.py::enforce_query_cap pattern): the unlabeled ids
+    # drive ranking_features' broadcast query side, so a corpus-sized U
+    # would silently collect the corpus to the driver. At real scale
+    # the U-side pair candidates come from the ANN/index route
+    # (gaussian_fields.py:34-42 seam), not from this FV build.
+    n_u = unl.limit(MAX_UNLABELED + 1).count()
+    if n_u > MAX_UNLABELED:
+        raise ValueError(
+            f"l2r_metric_gaussian_fields: unlabeled set exceeds "
+            f"{MAX_UNLABELED} docs; the L2R feature build broadcasts "
+            f"unlabeled ids as query vectors and is sized for bounded "
+            f"query sets. Use the ANN candidate seam "
+            f"(gaussian_fields ul_edges/uu_edges injection) for "
+            f"corpus-sized U."
+        )
+    u_ids = [r[0] for r in unl.orderBy("doc_id").collect()]
 
     feats = ranking_features(
         docs, groups, u_ids, max_doc_id=max_doc_id, doc_meta=doc_meta

@@ -170,6 +170,30 @@ def test_l2r_metric_gaussian_fields_matches_replica(spark):
         assert got[u][1] == want[u][1], u
 
 
+def test_l2r_metric_gaussian_fields_unlabeled_cap(spark, monkeypatch):
+    """The unlabeled set drives a driver collect + broadcast query side;
+    the contract is enforced with an actionable error, not assumed
+    (r5 verdict task 6 / What's-wrong item 2)."""
+    import ir_base_spark.ops.metric_learning as ML
+
+    texts, groups, labels = _make_docs()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    gdf = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(groups)], "doc_id long, label int"
+    )
+    ldf = spark.createDataFrame(
+        [(i, y) for i, y in sorted(labels.items())], "doc_id long, label int"
+    )
+    monkeypatch.setattr(ML, "MAX_UNLABELED", 1)
+    with pytest.raises(ValueError, match="unlabeled set exceeds"):
+        ML.l2r_metric_gaussian_fields(
+            docs, gdf, ldf, weights=WEIGHTS, k=K, k_prime=KP,
+            alpha=ALPHA, beta=BETA, eta=ETA, iterations=ITERS,
+        )
+
+
 def test_ranking_features_meta_dims(spark):
     """The doc_meta seam: topical (symmetric KL / n_topics), senti
     (|Δ|), POS/aspect (cosine) dims vs direct formula evaluation."""
